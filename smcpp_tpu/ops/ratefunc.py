@@ -1,0 +1,300 @@
+"""Jittable piecewise-constant coalescent rate function.
+
+All functions are pure, fixed-shape functions of the traced per-piece
+population-size vector ``a`` (everything else — the time grid, hidden-state
+indices, sample size — is static).  They reproduce the closed-form integrals
+of the reference implementation
+(/root/reference/src/piecewise_constant_rate_function.cpp) in a fully
+vectorized, branch-free form:
+
+* the terminal infinite piece is represented by a finite width ``BIG_T`` so
+  that every "t == infinity" special case collapses to the correct limit
+  automatically (exp(-ada*BIG_T) == 0.0 exactly in float64);
+* the inner sums over pieces ("single integrals") are computed with
+  prefix/suffix log-sum-exp so that large positive exponents in the
+  divided-out coefficients can never overflow (this replaces the reference's
+  branchy magnitude-20 cutoffs at
+  piecewise_constant_rate_function.cpp:262-287);
+* zero-width pieces (which occur for degenerate warm-start models) are
+  masked statically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import defaults
+from .grid import TimeGrid
+
+
+def nC2(v):
+    v = np.asarray(v)
+    return v * (v - 1) // 2
+
+
+def ada_on_grid(a, grid: TimeGrid):
+    "Per-augmented-piece inverse population size (the coalescent rate)."
+    return (1.0 / a)[grid.src]
+
+
+def cumulative_rate(ada, grid: TimeGrid):
+    """R(ts[i]) for every grid point i (K+1 values).
+
+    The last entry is a huge-but-finite number standing in for R(inf).
+    """
+    return jnp.concatenate([jnp.zeros(1, ada.dtype), jnp.cumsum(ada * grid.dt)])
+
+
+def _log_denoms(Rr, grid: TimeGrid):
+    """log P(coal in hidden interval h) for each h — with a leading -R_h shift.
+
+    Matches ``log_denom`` of the reference (= -R_h + log(-expm1(-(R_h1-R_h)))):
+    exp(-log_denom[h]) == 1 / (e^{-R_h} - e^{-R_h1}).
+    """
+    Rh = Rr[grid.hs_indices[:-1]]
+    Rh1 = Rr[grid.hs_indices[1:]]
+    dR = Rh1 - Rh
+    # log(-expm1(-x)), stable in both regimes; dR can be huge (terminal piece)
+    log1mexp = jnp.where(
+        dR > 0.6931471805599453,
+        jnp.log1p(-jnp.exp(-jnp.minimum(dR, 700.0))),
+        jnp.log(-jnp.expm1(-jnp.maximum(dR, 1e-300))),
+    )
+    return -Rh + log1mexp
+
+
+def initial_distribution(a, grid: TimeGrid):
+    """pi_m = e^{-R(h_m)} - e^{-R(h_{m+1})}, floored and normalized.
+
+    Reference: src/inference_manager.cpp:56-69.
+    """
+    ada = ada_on_grid(a, grid)
+    Rr = cumulative_rate(ada, grid)
+    ex = jnp.exp(-Rr[grid.hs_indices])
+    pi = ex[:-1] - ex[1:]
+    pi = jnp.maximum(pi, defaults.pi_floor)
+    return pi / jnp.sum(pi)
+
+
+def average_coal_times(a, grid: TimeGrid):
+    """E[T | coal in hidden interval h] for each h.
+
+    e_coal = t0 e^{-R(t0)} - t1 e^{-R(t1)} + int_{t0}^{t1} e^{-R}, all divided
+    by interval probability.  Reference:
+    piecewise_constant_rate_function.cpp:371-403.
+    """
+    ada = ada_on_grid(a, grid)
+    Rr = cumulative_rate(ada, grid)
+    ld = _log_denoms(Rr, grid)  # (M,)
+
+    # int e^{-R} over each piece
+    zero_piece = grid.dt <= 0.0
+    piece_int = jnp.exp(-Rr[:-1]) * (-jnp.expm1(-ada * grid.dt)) / ada
+    piece_int = jnp.where(zero_piece, 0.0, piece_int)
+    # segment-sum pieces into hidden intervals, with the per-interval
+    # 1/P(interval) factor exp(-ld) folded in
+    h_of_m = grid.interval_of_piece  # static, clipped; invalid pieces masked by seg
+    seg = grid.segment_matrix()
+    integral = seg @ (piece_int * jnp.exp(-ld[h_of_m]))
+
+    hs = grid.hidden_states
+    t0 = hs[:-1]
+    t1 = np.where(np.isinf(hs[1:]), 0.0, hs[1:])  # static mask; inf term -> 0
+    R0 = Rr[grid.hs_indices[:-1]]
+    R1 = Rr[grid.hs_indices[1:]]
+    x = t0 * jnp.exp(-(R0 + ld)) + integral - t1 * jnp.exp(-(R1 + ld))
+    # Intervals with zero coalescent mass (infinite size in split models)
+    # are undefined; mirror the reference's NaN convention.
+    dR = R1 - R0
+    return jnp.where(dR > 0, x, jnp.nan)
+
+
+def _log_single_integrals(rates, ada, Rr, grid: TimeGrid):
+    """log of int_{ts_k}^{ts_{k+1}} exp(-rate * R(t)) dt per (rate, piece).
+
+    rates: static numpy int array (R,).  Returns (R, K).
+    Reference closed form: piecewise_constant_rate_function.cpp:197-211.
+    """
+    rates = np.asarray(rates, dtype=np.float64)[:, None]  # (R,1)
+    # rate == 0 rows take the log(dt) branch below; keep the main formula
+    # NaN-free for them (log/0-division otherwise poisons the gradient).
+    rates_safe = np.where(rates == 0, 1.0, rates)
+    zero_piece = (grid.dt <= 0.0)[None, :]
+    x = rates_safe * ada[None, :] * grid.dt[None, :]  # (R,K), > 0
+    x_safe = jnp.where(zero_piece, 1.0, x)
+    log1mexp = jnp.where(
+        x_safe > 0.6931471805599453,
+        jnp.log1p(-jnp.exp(-jnp.minimum(x_safe, 700.0))),
+        jnp.log(-jnp.expm1(-x_safe)),
+    )
+    log_si = -rates * Rr[None, :-1] + log1mexp - jnp.log(ada[None, :] * rates_safe)
+    # rate == 0: integral is just the piece width
+    log_si = jnp.where(rates == 0, jnp.log(np.maximum(grid.dt, 1e-300))[None, :], log_si)
+    return jnp.where(zero_piece, -jnp.inf, log_si)
+
+
+def _suffix_lse(log_si):
+    "logsumexp over pieces strictly after k, shape-preserving.  (R,K) -> (R,K)"
+    rev = log_si[:, ::-1]
+    c = jax.lax.cumlogsumexp(rev, axis=1)[:, ::-1]
+    # exclusive: shift left; last entry has empty suffix
+    return jnp.concatenate([c[:, 1:], jnp.full_like(c[:, :1], -jnp.inf)], axis=1)
+
+
+def _prefix_lse(log_si):
+    "logsumexp over pieces strictly before k.  (R,K) -> (R,K)"
+    c = jax.lax.cumlogsumexp(log_si, axis=1)
+    return jnp.concatenate([jnp.full_like(c[:, :1], -jnp.inf), c[:, :-1]], axis=1)
+
+
+def tjj_below(a, grid: TimeGrid, n: int):
+    """Double integrals "below": (M, n+1) matrix of
+    E[int_0^T exp(-rate_j * R(t)) dt | T in interval h] branch-length moments,
+    rate_j = C(j,2)-1 for j = 2..n+2.
+
+    Reference: piecewise_constant_rate_function.cpp:301-334.
+    """
+    ada = ada_on_grid(a, grid)
+    Rr = cumulative_rate(ada, grid)
+    ld = _log_denoms(Rr, grid)
+    h_of_m = grid.interval_of_piece
+    ld_m = ld[h_of_m]  # (K,)
+
+    js = np.arange(2, n + 3)
+    rates = nC2(js) - 1  # (n+1,), first entry 0
+    ratesf = rates.astype(np.float64)[:, None]  # (R,1)
+
+    Rm = Rr[:-1][None, :]
+    ad = (ada * grid.dt)[None, :]  # (1,K) broadcast; huge on last piece
+    zero_piece = (grid.dt <= 0.0)[None, :]
+    adaK = ada[None, :]
+
+    l1r = 1.0 + ratesf
+    coef = jnp.exp(-l1r * Rm - ld_m[None, :])
+    # rate > 0 closed form (degrades correctly for ad -> inf)
+    v_pos = coef * (jnp.expm1(-l1r * ad) / l1r - jnp.expm1(-ad)) / (
+        jnp.where(ratesf == 0, 1.0, ratesf) * adaK
+    )
+    # rate == 0 closed form
+    v_zero = jnp.exp(-Rm - ld_m[None, :]) * (
+        1.0 - jnp.exp(-ad) * (1.0 + ad)
+    ) / adaK
+    dia = jnp.where(ratesf == 0, v_zero, v_pos)
+    dia = jnp.where(zero_piece, 0.0, dia)
+
+    # single-integral part: fac_m * exp(-Rm - ld) * sum_{k<m} si(rate, k)
+    log_si = _log_single_integrals(rates, ada, Rr, grid)
+    plse = _prefix_lse(log_si)  # (R,K)
+    dRm = (Rr[1:] - Rr[:-1])[None, :]
+    fac = -jnp.expm1(-dRm)  # == 1 automatically on the terminal piece
+    term2 = fac * jnp.exp(-Rm - ld_m[None, :] + plse)
+
+    total = dia + term2  # (R,K)
+    seg = grid.segment_matrix()
+    return jnp.einsum("hk,rk->hr", seg, total)  # (M, n+1)
+
+
+def tjj_above(a, grid: TimeGrid, n: int):
+    """Double integrals "above": (M, n+1, n) tensor C with
+    C[h, jj-2, j-2], jj = 2..n+2 (Moran eigen-rate lam = C(jj,2)-1),
+    j = 2..n+1 (coalescent rate C(j,2)).
+
+    Reference: piecewise_constant_rate_function.cpp:213-299.
+    """
+    ada = ada_on_grid(a, grid)
+    Rr = cumulative_rate(ada, grid)
+    ld = _log_denoms(Rr, grid)
+    h_of_m = grid.interval_of_piece
+    ld_m = ld[h_of_m]
+
+    jjs = np.arange(2, n + 3)  # (JJ,) = n+1
+    js = np.arange(2, n + 2)  # (J,) = n
+    l1 = nC2(jjs).astype(np.float64)[:, None, None]  # lam + 1, (JJ,1,1)
+    r = nC2(js).astype(np.float64)[None, :, None]  # (1,J,1)
+
+    Rm = Rr[:-1][None, None, :]
+    Rm1 = Rr[1:][None, None, :]
+    ad = (ada * grid.dt)[None, None, :]
+    adaK = ada[None, None, :]
+    zero_piece = (grid.dt <= 0.0)[None, None, :]
+
+    coef = jnp.exp(-l1 * Rm - ld_m[None, None, :])
+    eq = l1 == r  # static (JJ,J,1)
+    denom_lr = np.where(l1 - r == 0, 1.0, l1 - r)  # static safe denominator
+    # |l1 - r| with a static positive floor: keeps the unselected branches of
+    # the where() below free of expm1(+inf) = inf (whose 0*inf would poison
+    # gradients through the select).
+    abs_lr = np.where(l1 == r, 1.0, np.abs(l1 - r))
+
+    # l1 == rate
+    v_eq = coef * (1.0 - jnp.exp(-r * ad) * (1.0 + r * ad)) / (r * r) / adaK
+    # rate < l1
+    v_lt = -coef * (
+        jnp.expm1(-l1 * ad) / l1
+        + jnp.exp(-r * ad) * (-jnp.expm1(-abs_lr * ad)) / denom_lr
+    ) / (r * adaK)
+    # rate > l1
+    v_gt = -coef * (
+        jnp.expm1(-l1 * ad) / l1
+        + jnp.exp(-l1 * ad) * jnp.expm1(-abs_lr * ad) / denom_lr
+    ) / (r * adaK)
+    dia = jnp.where(eq, v_eq, jnp.where(r < l1, v_lt, v_gt))
+    dia = jnp.where(zero_piece, 0.0, dia)
+
+    # single-integral part.  rp = l1 - rate;
+    #   rp == 0: (Rm1 - Rm) * exp(-ld + suffix)
+    #   rp != 0: exp(-rp * pivotR - ld + suffix) * (-expm1(-|rp| dR)) / |rp|
+    # where suffix = logsumexp_{k>m} log si(rate, k).
+    log_si = _log_single_integrals(nC2(js), ada, Rr, grid)  # (J,K)
+    slse = _suffix_lse(log_si)[None, :, :]  # (1,J,K)
+
+    rp = l1 - r  # (JJ,J,1) static values
+    arp = np.abs(np.broadcast_to(rp, (n + 1, n, 1)))
+    arp_safe = np.where(arp == 0, 1.0, arp)
+    dR = Rm1 - Rm
+    pivotR = jnp.where(rp > 0, Rm, Rm1)
+    arg = -rp * pivotR - ld_m[None, None, :] + slse
+    t_ne = jnp.exp(arg) * (-jnp.expm1(-arp_safe * dR)) / arp_safe
+    t_eq = dR * jnp.exp(-ld_m[None, None, :] + slse)
+    term2 = jnp.where(rp == 0, t_eq, t_ne)
+
+    total = dia + term2  # (JJ,J,K)
+    seg = grid.segment_matrix()
+    return jnp.einsum("hk,ijk->hij", seg, total)  # (M, JJ, J)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (NumPy) utilities on raw (a, s) models — used for hidden-state
+# balancing and other root-finding that happens outside of jit.
+# ---------------------------------------------------------------------------
+
+class HostRateFunction:
+    "Plain NumPy piecewise-constant rate function (no hidden-state splicing)."
+
+    def __init__(self, a, s):
+        self.a = np.asarray(a, dtype=np.float64)
+        self.ada = 1.0 / self.a
+        self.s = np.asarray(s, dtype=np.float64)
+        self.ts = np.concatenate([[0.0], np.cumsum(self.s)])
+        self.ts[-1] = np.inf
+        self.Rrng = np.concatenate(
+            [[0.0], np.cumsum(self.ada[:-1] * np.diff(self.ts[:-1]))]
+        )
+
+    def R(self, t):
+        "Cumulative hazard at time t (scalar or array)."
+        t = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        ip = np.minimum(
+            np.searchsorted(self.ts, t, side="right") - 1, len(self.ada) - 1
+        )
+        out = self.Rrng[ip] + self.ada[ip] * (t - self.ts[ip])
+        return out if out.size > 1 else out[0]
+
+    def Rinv(self, y):
+        "Inverse of R."
+        y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+        ip = np.minimum(
+            np.searchsorted(self.Rrng, y, side="right") - 1, len(self.ada) - 1
+        )
+        out = (y - self.Rrng[ip]) / self.ada[ip] + self.ts[ip]
+        return out if out.size > 1 else out[0]
