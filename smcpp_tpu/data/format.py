@@ -1,0 +1,104 @@
+"""SMC++ data-format reader/writer.
+
+The text format is unchanged from the reference so datasets are
+interchangeable: a ``# SMC++ {json}`` header followed by space-separated
+rows ``span a b nb [a2 b2 nb2]``.  Reference:
+/root/reference/smcpp/estimation_tools.py:236-283 and commands/vcf2smc.py.
+"""
+
+import gzip
+import json
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..contig import Contig
+
+
+def optional_gzip(fn, mode):
+    return gzip.open(fn, mode) if str(fn).endswith(".gz") else open(fn, mode)
+
+
+class RepeatingWriter:
+    "Run-length-merging row writer (reference smcpp/util.py)."
+
+    def __init__(self, f):
+        self.f = f
+        self.last_ob = None
+        self.i = 0
+
+    def write(self, ob):
+        if self.last_ob is None:
+            self.last_ob = list(ob)
+            return
+        if ob[1:] == self.last_ob[1:]:
+            self.last_ob[0] += ob[0]
+        else:
+            self._write_last()
+            self.last_ob = list(ob)
+
+    def _write_last(self):
+        if self.last_ob[0] > 0:
+            self.f.write(" ".join(map(str, self.last_ob)) + "\n")
+            self.i += 1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        if self.last_ob is not None:
+            self._write_last()
+        return False
+
+
+def write_contig(fn, data, pids, dist, undist, version="tpu-0.1.0"):
+    "Write rows with run-length merging and the SMC++ JSON header."
+    with optional_gzip(fn, "wt") as out:
+        out.write("# SMC++ ")
+        json.dump(
+            {"version": version, "pids": list(pids), "undist": undist, "dist": dist},
+            out,
+        )
+        out.write("\n")
+        with RepeatingWriter(out) as rw:
+            for row in np.asarray(data):
+                rw.write([int(x) for x in row])
+
+
+def load_contig(fn):
+    "Parse one SMC++ file into a Contig (estimation_tools.py:236-267)."
+    with optional_gzip(fn, "rt") as f:
+        first = f.readline().strip()
+        if not first.startswith("# SMC++"):
+            raise RuntimeError(f"{fn} is not in SMC++ format")
+        attrs = json.loads(first[7:])
+        if "pids" not in attrs:
+            raise RuntimeError("Data format is too old. Re-run vcf2smc.")
+        A = np.loadtxt(f, dtype=np.int32, ndmin=2)
+    if len(A) == 0:
+        raise RuntimeError(f"empty dataset: {fn}")
+    a = [len(d) for d in attrs["dist"]]
+    n = [len(u) for u in attrs["undist"]]
+    pid = tuple(attrs["pids"])
+    # put the population containing the distinguished pair first
+    if len(a) == 2 and a[0] == 0 and a[1] == 2:
+        n = n[::-1]
+        a = a[::-1]
+        pid = pid[::-1]
+        A = A[:, [0, 4, 5, 6, 1, 2, 3]]
+    return Contig(pid=pid, data=np.ascontiguousarray(A), n=n, a=a, fn=str(fn))
+
+
+def files_from_command_line_args(args):
+    ret = []
+    for f in args:
+        if f[0] == "@":
+            ret += [line.strip() for line in open(f[1:]) if line.strip()]
+        else:
+            ret.append(f)
+    return sorted(set(ret))
+
+
+def load_data(files):
+    with ThreadPoolExecutor() as p:
+        return list(p.map(load_contig, files))

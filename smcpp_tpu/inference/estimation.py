@@ -1,0 +1,40 @@
+"""Estimation utilities: hidden-state balancing and related root finding.
+
+Host-side NumPy (the reference routes these through the C++ rate function;
+/root/reference/smcpp/estimation_tools.py:170-233)."""
+
+import numpy as np
+import scipy.optimize
+
+from ..ops.ratefunc import HostRateFunction
+
+
+def balance_hidden_states(model, M):
+    """Break points [0, b_1, ..., b_{M-1}, inf) with equal coalescent mass
+    under the model.  Returned in coalescent units (the reference returns
+    generations and every caller divides by 2 N0 again)."""
+    eta = HostRateFunction(model.stepwise_values(), model.s)
+    Mm = M - 1
+    ret = [0.0]
+    for m in range(1, Mm):
+
+        def f(t):
+            return np.exp(-eta.R(t)) - 1.0 * (Mm - m) / Mm
+
+        a = b = ret[-1]
+        while f(a) * f(b) >= 0:
+            b = 2 * (b + 1)
+        ret.append(scipy.optimize.brentq(f, a, b))
+    ret.append(np.inf)
+    return np.array(ret)
+
+
+def calculate_t1(model, n, q):
+    "Time by which a pair out of n has coalesced with probability q."
+    eta = HostRateFunction(model.stepwise_values(), model.s)
+    c = n * (n - 1) / 2
+
+    def f(t):
+        return np.expm1(-c * eta.R(t)) + q
+
+    return scipy.optimize.brentq(f, 0.0, model.knots[-1])

@@ -1,0 +1,175 @@
+"""EM driver and M-step optimization.
+
+Mirrors the reference's optimizer + plugin flow
+(/root/reference/smcpp/optimize/optimizers.py, optimize/plugins/): per EM
+iteration an E-step, scalar pre-M-step optimizations (rho, global scale),
+then per-coordinate-block L-BFGS-B over the spline knot values with exact
+gradients from ``jax.grad`` of Q.
+"""
+
+import logging
+import os
+
+import numpy as np
+import scipy.optimize
+
+from .. import defaults
+
+logger = logging.getLogger(__name__)
+
+
+class EMTerminationException(Exception):
+    pass
+
+
+class SMCPPOptimizer:
+    def __init__(self, analysis, algorithm="L-BFGS-B", xtol=defaults.xtol,
+                 ftol=defaults.ftol, single=True, learn_rho=False,
+                 outdir=None, base="model"):
+        self._analysis = analysis
+        self._algorithm = algorithm
+        self._xtol = xtol
+        self._ftol = ftol
+        self._single = single
+        self._learn_rho = learn_rho
+        self._outdir = outdir
+        self._base = base
+        self._old_loglik = None
+
+    # -- coordinate schedule (optimizers.py:238-243)
+    def _coordinates(self):
+        K = self._analysis.model.K
+        if self._single:
+            return [[k] for k in range(K)][::-1]
+        return [list(range(K))]
+
+    # -- objective: -(Q - penalty * roughness) and gradient over coords
+    def _f(self, x, coords):
+        a = self._analysis
+        y = a.model.y.copy()
+        y[coords] = x
+        q, grad = a.Q_and_grad(y)
+        if np.isinf(q) or np.isnan(q):
+            return np.inf, np.zeros(len(coords))
+        return -q, -grad[coords]
+
+    def _minimize(self, x0, coords):
+        bounds = np.transpose(
+            [
+                np.maximum(x0 - 3.0, np.log(defaults.minimum)),
+                np.minimum(x0 + 3.0, np.log(defaults.maximum)),
+            ]
+        )
+        if os.environ.get("SMCPP_GRADIENT_CHECK"):
+            y0, dy = self._f(x0, coords)
+            for i in range(len(x0)):
+                x0[i] += 1e-8
+                y1, _ = self._f(x0, coords)
+                logger.info("grad check %d: fd=%g ad=%g", i, (y1 - y0) * 1e8, dy[i])
+                x0[i] -= 1e-8
+        if len(x0) > 1:
+            res = scipy.optimize.minimize(
+                self._f,
+                x0,
+                jac=True,
+                args=(coords,),
+                bounds=bounds,
+                method=self._algorithm if self._algorithm != "Powell" else "L-BFGS-B",
+            )
+        else:
+            res = scipy.optimize.minimize_scalar(
+                lambda x: self._f(np.array([x]), coords)[0],
+                bounds=tuple(bounds[0]),
+                method="bounded",
+                options={"xatol": self._xtol},
+            )
+            res.x = np.array([res.x])
+        return res
+
+    # -- scalar pre-M-step optimizations
+    def _optimize_param(self, param, bounds):
+        "plugins/parameter_optimizer.py"
+        a = self._analysis
+
+        def f(x):
+            return -a.Q(**{param: x})
+
+        res = scipy.optimize.minimize_scalar(f, bounds=bounds, method="bounded")
+        logger.info("New %s: %g", param, res.x)
+        setattr(a, param, res.x)
+
+    def _optimize_scale(self):
+        "plugins/scale_optimizer.py: global additive shift of log N."
+        a = self._analysis
+        y0 = a.model.y.copy()
+
+        def f(shift):
+            return -a.Q(y=y0 + shift)
+
+        res = scipy.optimize.minimize_scalar(f, bounds=(-1.0, 1.0), method="bounded")
+        a.model.y = y0 + res.x
+
+    # -- EM loop (optimizers.py:154-188)
+    def run(self, niter):
+        try:
+            for i in range(niter):
+                self._analysis.E_step()
+                ll = self._analysis.loglik()
+                self._check_termination(ll)
+                if self._outdir:
+                    self._analysis.dump(
+                        os.path.join(self._outdir, f".{self._base}.iter{i}")
+                    )
+                if self._learn_rho:
+                    th = self._analysis._theta
+                    self._optimize_param("rho", (th / 100, th * 100))
+                self._optimize_scale()
+                for coords in self._coordinates():
+                    x0 = self._analysis.model.y[coords]
+                    res = self._minimize(x0, coords)
+                    self._analysis.model.y[coords] = res.x
+        except EMTerminationException:
+            pass
+        if self._outdir:
+            self._analysis.dump(os.path.join(self._outdir, f"{self._base}.final"))
+
+    def _check_termination(self, ll):
+        "plugins/loglikelihood_monitor.py"
+        if self._old_loglik is None:
+            logger.info("Loglik: %f", ll)
+        else:
+            improvement = (self._old_loglik - ll) / self._old_loglik
+            logger.info(
+                "New loglik: %f\t(old: %f [%f%%])",
+                ll, self._old_loglik, 100.0 * improvement,
+            )
+            if improvement < 0:
+                logger.warning("Loglik decreased")
+            elif improvement < self._ftol:
+                logger.info("Log-likelihood improvement < tol; terminating")
+                self._old_loglik = ll
+                raise EMTerminationException()
+        self._old_loglik = ll
+
+
+class TwoPopulationOptimizer(SMCPPOptimizer):
+    "Split-time-only optimization (optimizers.py:246-260)."
+
+    def __init__(self, *args, max_split=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._max_split = max_split
+
+    def _coordinates(self):
+        return []
+
+    def run(self, niter):
+        try:
+            for i in range(niter):
+                self._analysis.E_step()
+                ll = self._analysis.loglik()
+                self._check_termination(ll)
+                self._optimize_param("split", (0.0, self._max_split))
+        except EMTerminationException:
+            pass
+        if self._outdir:
+            self._analysis.dump(os.path.join(self._outdir, f"{self._base}.final"))

@@ -1,0 +1,98 @@
+"""End-to-end smoke test: vcf2smc on the bundled example VCF, then a short
+one-population estimate; mirrors the reference's run_test_long.sh strategy."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from smcpp_tpu.data.format import load_contig
+from smcpp_tpu.data.vcf import SampleList, vcf2smc
+
+EXAMPLE = "/root/reference/example/example.vcf.gz"
+
+
+@pytest.fixture(scope="module")
+def smc_file(tmp_path_factory):
+    out = tmp_path_factory.mktemp("data") / "example.smc.gz"
+    vcf2smc(
+        EXAMPLE,
+        str(out),
+        "1",
+        SampleList("pop1", ["msp_0", "msp_1", "msp_2", "msp_3", "msp_4"]),
+    )
+    return str(out)
+
+
+def test_vcf2smc_output(smc_file):
+    c = load_contig(smc_file)
+    assert c.pid == ("pop1",)
+    assert list(c.n) == [8]
+    assert list(c.a) == [2]
+    assert c.data[:, 0].sum() == 1_000_000
+    # spot-checked against the VCF records
+    assert c.data[0].tolist() == [1884, 0, 0, 8]
+    assert c.data[1].tolist() == [1, 0, 4, 8]
+
+
+def make_args(**kw):
+    d = dict(
+        mu=1.25e-8, r=None, em_iterations=2, knots=8, spline="piecewise",
+        polarization_error=0.5, unfold=False, w=100, thinning=None,
+        timepoints=None, outdir=None, base="model", algorithm="L-BFGS-B",
+        xtol=0.1, ftol=1e-4, regularization_penalty=6, lambda_=None,
+        nonseg_cutoff=None, multi=False, cores=None, seed=0,
+    )
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+def test_estimate_end_to_end(smc_file, tmp_path):
+    from smcpp_tpu.inference.analysis import Analysis
+
+    np.random.seed(0)
+    outdir = str(tmp_path)
+    a = Analysis([smc_file], make_args(outdir=outdir))
+    ll0 = None
+    a.E_step()
+    ll0 = a.loglik()
+    a.run()
+    ll1 = a.loglik()
+    assert np.isfinite(ll1)
+    assert ll1 >= ll0 - 1e-6  # EM must not decrease the log-likelihood
+    # dump round-trips
+    a.dump(os.path.join(outdir, "model.final"))
+    import json
+
+    d = json.load(open(os.path.join(outdir, "model.final.json")))
+    assert d["model"]["class"] == "SMCModel"
+    sv = a.model.stepwise_values()
+    assert np.all(sv > 0)
+    # the example was simulated at constant size; the fit should be within
+    # an order of magnitude of constant
+    assert sv.max() / sv.min() < 50
+
+
+def test_posterior_gamma(smc_file):
+    "posterior decoding path: save_gamma produces normalized column masses."
+    from smcpp_tpu.inference.manager import OnePopInferenceManager
+    from smcpp_tpu.models import SMCModel
+    from smcpp_tpu.inference import estimation
+
+    c = load_contig(smc_file)
+    m = SMCModel([0.01, 3.0], 20000.0, "piecewise")
+    m.y[:] = 0.0
+    hs = estimation.balance_hidden_states(m, 8)
+    im = OnePopInferenceManager(c.n[0], [c.data], hs, ("pop1",), 0.5)
+    im.set_model(m)
+    im.theta = 1e-4
+    im.rho = 1e-4
+    im.alpha = 1
+    im.save_gamma = True
+    im.E_step()
+    g = im.gammas[0]
+    spans = np.asarray(im._spans[0])
+    keep = spans > 0
+    # each row's gamma sums to its span
+    np.testing.assert_allclose(g[keep].sum(axis=1), spans[keep], rtol=1e-3)
