@@ -39,31 +39,62 @@ def _cpu_device():
         return jax.devices()[0]
 
 
-def pack_observations(data_list, key_id, chunk):
+def _best_max_span(all_spans):
+    """Pick the span cap S minimizing the E-step cost model
+    (rows_after_split * matmuls_per_row), matmuls_per_row ~ 2 * bit_length(S).
+
+    Long spans are split into multiple rows: fewer squaring steps per row at
+    the cost of more rows.  For genomic data (few long homozygous runs amid
+    many short rows) this is ~100x cheaper than exponentiating to the raw
+    maximum span.
+    """
+    s = np.concatenate(all_spans).astype(np.int64)
+    best, best_cost = None, np.inf
+    for b in range(2, 25):
+        S = (1 << b) - 1
+        rows = int(np.sum(np.maximum(1, -(-s // S))))
+        cost = rows * 2 * b
+        if cost < best_cost:
+            best, best_cost = S, cost
+    return best
+
+
+def _split_spans(s, k, S):
+    "Split rows with span > S into balanced sub-rows of span <= S."
+    reps = np.maximum(1, -(-s // S)).astype(np.int64)
+    if reps.max(initial=1) == 1:
+        return s, k
+    k2 = np.repeat(k, reps)
+    s2 = np.repeat(s // reps, reps)
+    # distribute the remainders: the first (s % reps) sub-rows get +1
+    ends = np.cumsum(reps)
+    starts = ends - reps
+    idx = np.arange(len(k2))
+    row = np.repeat(np.arange(len(s)), reps)
+    offset = idx - starts[row]
+    s2 = s2 + (offset < (s % reps)[row])
+    return s2.astype(np.int64), k2
+
+
+def pack_observations(data_list, key_id, chunk, max_span=None):
     """Map contig rows to key ids and pad into (C, Lmax) arrays.
 
     Rows with span == 0 / key 0 are padding (exact no-ops in the kernel).
-    Spans wider than 2^24 - 1 windows are split to bound the
-    binary-exponentiation depth.
+    Spans wider than ``max_span`` (cost-model-chosen by default) are split
+    into multiple rows to bound the binary-exponentiation depth.
     """
-    MAXSPAN = (1 << 24) - 1
-    spans_l, keys_l = [], []
+    raw = []
     for d in data_list:
         s = d[:, 0].astype(np.int64)
         k = np.array([key_id[tuple(row)] for row in d[:, 1:]], dtype=np.int32)
-        if s.max(initial=0) > MAXSPAN:
-            reps = np.maximum(1, -(-s // MAXSPAN))
-            k = np.repeat(k, reps)
-            news = []
-            for si, r in zip(s, reps):
-                if r == 1:
-                    news.append(si)
-                else:
-                    q, rem = divmod(si, r)
-                    news.extend([q + 1] * rem + [q] * (r - rem))
-            s = np.array(news, dtype=np.int64)
-        spans_l.append(s.astype(np.int32))
-        keys_l.append(k)
+        raw.append((s, k))
+    if max_span is None:
+        max_span = _best_max_span([s for s, _ in raw])
+    spans_l, keys_l = [], []
+    for s, k in raw:
+        s2, k2 = _split_spans(s, k, max_span)
+        spans_l.append(s2.astype(np.int32))
+        keys_l.append(k2)
     C = len(spans_l)
     Lmax = max(len(s) for s in spans_l)
     Lmax = -(-Lmax // chunk) * chunk
@@ -75,7 +106,32 @@ def pack_observations(data_list, key_id, chunk):
     return spans, keys
 
 
-class OnePopInferenceManager:
+class _EagerQOps:
+    """Shared un-jitted setup/Q evaluation, for managers whose time grid
+    changes between objective evaluations (marginal models that splice at
+    the split time)."""
+
+    def _eager_tensors(self, grid, a):
+        a = jnp.asarray(a, jnp.float64)
+        pi = ratefunc.initial_distribution(a, grid)
+        T = transition.transition_matrix(a, self.rho, grid)
+        bl = csfs_mod.conditioned_sfs(a, grid, self.n)
+        em = csfs_mod.incorporate_theta(bl, self.theta)
+        act = ratefunc.average_coal_times(a, grid)
+        e2 = em_mod.e2_matrix(act, self.theta, self.alpha)
+        E = em_mod.emission_matrix(self.em_idx, em, e2)
+        return pi, T, E
+
+    def _eager_q(self, pi, T, E):
+        gamma0, xisum, gamma_sums = self._stats
+        return float(
+            jnp.dot(jnp.asarray(gamma0), jnp.log(pi))
+            + jnp.sum(jnp.asarray(gamma_sums) * jnp.log(E))
+            + jnp.sum(jnp.asarray(xisum) * jnp.log(T))
+        )
+
+
+class OnePopInferenceManager(_EagerQOps):
     def __init__(
         self,
         n,
@@ -132,7 +188,15 @@ class OnePopInferenceManager:
 
     # ------------------------------------------------------------------
     def set_model(self, model):
+        from ..models import SMCTwoPopulationModel
+
         self.model = model
+        self._joint = isinstance(model, SMCTwoPopulationModel)
+        if self._joint:
+            # marginal model (and its grid) changes with the split time;
+            # use the eager path instead of per-split recompilation
+            self._grid = None
+            return
         g = grid_mod.make_time_grid(model.s, self.hidden_states)
         if self._grid is None or not np.array_equal(g.ts, self._grid.ts):
             self._grid = g
@@ -176,6 +240,11 @@ class OnePopInferenceManager:
         return self._setup_cache[key]
 
     def tensors(self):
+        if getattr(self, "_joint", False):
+            marg = _marginal_model(self.model, self.pid[0])
+            grid = grid_mod.make_time_grid(marg.s, self.hidden_states)
+            a = np.asarray(marg.stepwise_values(), dtype=np.float64)
+            return self._eager_tensors(grid, a)
         fn, _, _ = self._setup()
         y = jnp.asarray(self.model.y, dtype=jnp.float64)
         return fn(y, self.theta, self.rho, self.alpha)
@@ -217,12 +286,14 @@ class OnePopInferenceManager:
         return self._ll
 
     # ------------------------------------------------------------------
-    def Q(self, y=None, theta=None, rho=None, alpha=None):
+    def Q(self, y=None, theta=None, rho=None, alpha=None, **kw):
         """Q value at (possibly overridden) parameters, float.
 
         Q = gamma0 . log pi + sum gs * log E + sum xisum * log T
         (reference HMM::Q, hmm.cpp:155-193); E-statistics from the last
         E_step are constants."""
+        if getattr(self, "_joint", False):
+            return self._eager_q(*self.tensors())
         _, q, _ = self._setup()
         return float(q(*self._q_args(y, theta, rho, alpha)))
 
@@ -243,6 +314,153 @@ class OnePopInferenceManager:
             xisum,
             gamma_sums,
         )
+
+    @property
+    def total_bases(self):
+        return self._total_bases
+
+
+def _marginal_model(model, pid):
+    "Concrete marginal model for a (possibly joint) model object."
+    from ..models import SMCTwoPopulationModel
+
+    if isinstance(model, SMCTwoPopulationModel):
+        return model.for_pop(pid)
+    return model
+
+
+class TwoPopInferenceManager(_EagerQOps):
+    """Two-population inference manager: JCSFS emissions, distinguished-model
+    transition/initial distribution.  Reference:
+    src/inference_manager.cpp:525-550 + src/jcsfs.cpp.
+
+    The split workflow only optimizes the scalar split time, so the setup
+    path is evaluated eagerly (host) at each objective evaluation; the HMM
+    E-step still runs through the jitted kernel.
+    """
+
+    def __init__(
+        self,
+        n1,
+        n2,
+        a1,
+        a2,
+        data_list,
+        hidden_states,
+        pid,
+        polarization_error=0.5,
+        chunk=64,
+        K=10,
+        compute_device=None,
+        estep_dtype=jnp.float32,
+    ):
+        assert a1 + a2 == 2 and a1 in (1, 2)
+        self.n1, self.n2, self.a1, self.a2 = int(n1), int(n2), int(a1), int(a2)
+        self.n = (self.n1, self.n2)
+        self.pid = pid
+        self.hidden_states = np.asarray(hidden_states, dtype=np.float64)
+        self._chunk = chunk
+        self._estep_dtype = estep_dtype
+        self._cpu = _cpu_device()
+        self._device = compute_device or jax.devices()[0]
+
+        all_keys = np.unique(
+            np.concatenate([d[:, 1:] for d in data_list], axis=0), axis=0
+        )
+        self.em_idx = em_mod.build_emission_index_2pop(
+            all_keys, (self.n1, self.n2), (self.a1, self.a2),
+            polarization_error,
+        )
+        spans, keys = pack_observations(data_list, self.em_idx.key_id(), chunk)
+        self._nbits = max(1, int(spans.max()).bit_length())
+        self._spans = jax.device_put(spans, self._device)
+        self._keys = jax.device_put(keys, self._device)
+        self._total_bases = float(sum(d[:, 0].sum() for d in data_list))
+
+        from ..ops.jcsfs import JointCSFS
+
+        self._jcsfs = JointCSFS(
+            self.n1, self.n2, self.a1, self.a2, self.hidden_states, K=K
+        )
+        self.model = None
+        self.theta = None
+        self.rho = None
+        self.alpha = 1
+        self.save_gamma = False
+        self._stats = None
+        self._ll = None
+        self.gammas = None
+        self._estep_fn = jax.jit(
+            partial(hmm_mod.estep, nbits=self._nbits, chunk=self._chunk),
+            device=self._device,
+        )
+
+    def set_model(self, model):
+        self.model = model
+
+    # ------------------------------------------------------------------
+    def tensors(self):
+        import jax.numpy as jnp
+
+        model = self.model
+        dist_pid = None if self.a1 == 1 else model.pids[0]
+        dm = _marginal_model(model, dist_pid)
+        a = np.asarray(dm.stepwise_values(), dtype=np.float64)
+        s = np.asarray(dm.s, dtype=np.float64)
+        grid = grid_mod.make_time_grid(s, self.hidden_states)
+        aj = jnp.asarray(np.where(np.isinf(a), 1e300, a))
+        pi = ratefunc.initial_distribution(aj, grid)
+        T = transition.transition_matrix(aj, self.rho, grid)
+        act = ratefunc.average_coal_times(aj, grid)
+
+        m1 = _marginal_model(model, model.pids[0])
+        m2 = _marginal_model(model, model.pids[1])
+        J = self._jcsfs.compute(
+            (np.asarray(m1.stepwise_values(), dtype=np.float64), m1.s),
+            (np.asarray(m2.stepwise_values(), dtype=np.float64), m2.s),
+            model.split,
+        )  # (M, a1+1, D)
+        em = csfs_mod.incorporate_theta(jnp.asarray(J), self.theta)
+        e2 = em_mod.e2_matrix(act, self.theta, self.alpha)
+        E = em_mod.emission_matrix(self.em_idx, em, e2)
+        return pi, T, E
+
+    def E_step(self):
+        pi, T, E = self.tensors()
+        dt = self._estep_dtype
+        pi_d = jax.device_put(jnp.asarray(pi, dt), self._device)
+        T_d = jax.device_put(jnp.asarray(T, dt), self._device)
+        E_d = jax.device_put(jnp.asarray(E, dt), self._device)
+        ll, gamma0, xisum, gamma_sums = self._estep_fn(
+            pi_d, T_d, E_d, self._spans, self._keys
+        )
+        self._ll = float(ll)
+        self._stats = (
+            np.asarray(gamma0, np.float64),
+            np.asarray(xisum, np.float64),
+            np.asarray(gamma_sums, np.float64),
+        )
+        if self.save_gamma:
+            fn = jax.jit(
+                partial(
+                    hmm_mod.posterior_gammas,
+                    nbits=self._nbits,
+                    chunk=self._chunk,
+                ),
+                device=self._device,
+            )
+            self.gammas = [
+                np.asarray(fn(pi_d, T_d, E_d, self._spans[i], self._keys[i]))
+                for i in range(self._spans.shape[0])
+            ]
+        return self._ll
+
+    def loglik(self):
+        return self._ll
+
+    def Q(self, **kw):
+        pi, T, E = self.tensors()
+        return self._eager_q(pi, T, E)
 
     @property
     def total_bases(self):

@@ -9,11 +9,14 @@ forward program):
   transfer operator A_l = (diag(E[key_l]) @ T^T)^{span_l} is computed by
   **binary exponentiation with per-step rescaling** — a fixed number of
   batched MxM matmuls, perfectly batched over rows (MXU work, no data
-  dependence).
+  dependence).  Long spans are pre-split at pack time so the exponent depth
+  is small (inference/manager.py:_best_max_span).
 * Rows are grouped into chunks of G; each chunk's operator product is
-  computed by a **tree reduction** (log2 G batched matmul levels).  Only the
-  per-chunk products are carried by the sequential scan, so the sequential
-  depth is L/G instead of L.
+  computed by a **tree reduction** (log2 G batched matmul levels).  Chunks
+  from all contigs are processed through one ``lax.map`` with a bounded
+  batch size, so peak memory is O(batch * G * M^2) regardless of genome
+  length.  The only sequential pass is a single scan over chunk products,
+  batched across contigs (depth L/G instead of L).
 * The log-likelihood is the only forward output.  All E-step sufficient
   statistics fall out of ``jax.grad`` via the exponential-family identities
 
@@ -23,9 +26,11 @@ forward program):
 
   which are exactly the quantities the reference's backward pass accumulates
   (hmm.cpp:97-153).  jax.checkpoint over chunks keeps backward memory at
-  O(L/G * M^2) + O(G * M^2) recompute.
+  O(n_chunks * M^2) + recompute.
 
-Rows with span == 0 are exact no-ops (A = I) and serve as padding.
+Rows with span == 0 are exact no-ops (A = I) and serve as padding — both for
+ragged contig lengths and for ragged contig counts under data-parallel
+sharding.
 """
 
 from functools import partial
@@ -66,17 +71,17 @@ def _tree_reduce(As, logs):
 
     As: (G, M, M) with G a power of two.  Returns ((M, M), scalar log).
     """
-    G = As.shape[0]
+    G, M = As.shape[0], As.shape[-1]
     assert G & (G - 1) == 0, "chunk size must be a power of two"
     while G > 1:
-        As, logs = _rescale(
-            jnp.einsum("gij,gjk->gik", As[1::2], As[0::2]), logs[0::2] + logs[1::2]
-        )
+        pair = As.reshape(G // 2, 2, M, M)
+        lp = logs.reshape(G // 2, 2)
+        As, logs = _rescale(pair[:, 1] @ pair[:, 0], lp[:, 0] + lp[:, 1])
         G //= 2
     return As[0], logs[0]
 
 
-@partial(jax.checkpoint, static_argnums=(4,))
+@partial(jax.checkpoint, static_argnums=(4,), prevent_cse=False)
 def _chunk_product(T, E, spans, keys, nbits):
     "Transfer-operator product over one chunk of compressed rows."
     Tt = T.T
@@ -85,32 +90,66 @@ def _chunk_product(T, E, spans, keys, nbits):
     return _tree_reduce(As, logs)
 
 
-def forward_loglik(pi, T, E, spans, keys, nbits, chunk):
-    """Scaled-forward log-likelihood of one contig.
+def _batch_size(chunk, M, budget_bytes=1 << 28):
+    "How many chunks to process at once (peak ~6 f32 buffers per element)."
+    per = chunk * M * M * 4 * 6
+    return max(8, budget_bytes // per)
 
-    pi: (M,) normalized; T: (M, M); E: (n_keys, M); spans/keys: (L,) with
-    L % chunk == 0; span == 0 rows are padding.  Matches the reference's
-    forward pass hmm.cpp:45-96 (modulo its 1e-10 alpha floor, which our
-    rescaling makes unnecessary).
+
+def _all_chunk_products(T, E, spans, keys, nbits, chunk):
+    """Chunk-operator products for a whole (C, L) batch of contigs.
+
+    Returns Ms (C, n_chunks, M, M) and logs (C, n_chunks).  Memory-bounded
+    via lax.map batching over the flattened chunk axis.
     """
-    L = spans.shape[0]
+    C, L = spans.shape
+    M = T.shape[0]
     n_chunks = L // chunk
-    spans_c = spans.reshape(n_chunks, chunk)
-    keys_c = keys.reshape(n_chunks, chunk)
-    Ms, logs = jax.vmap(lambda s, k: _chunk_product(T, E, s, k, nbits))(
-        spans_c, keys_c
+    sp = spans.reshape(C * n_chunks, chunk)
+    ky = keys.reshape(C * n_chunks, chunk)
+    bs = min(_batch_size(chunk, M), C * n_chunks)
+
+    def f(xs):
+        return _chunk_product(T, E, xs[0], xs[1], nbits)
+
+    Ms, logs = jax.lax.map(f, (sp, ky), batch_size=bs)
+    return (
+        Ms.reshape(C, n_chunks, M, M),
+        logs.reshape(C, n_chunks),
     )
+
+
+def _scan_chunks(pi, Ms, logs):
+    "Batched scaled-forward scan over chunk products.  Returns (C,) loglik."
+    C, n_chunks, M, _ = Ms.shape
+    Ms_t = jnp.moveaxis(Ms, 1, 0)  # (n_chunks, C, M, M)
+    logs_t = jnp.moveaxis(logs, 1, 0)
 
     def step(carry, x):
         alpha, ll = carry
         Mc, lg = x
-        v = Mc @ alpha
-        c = jnp.sum(v)
-        return (v / c, ll + (jnp.log(c) + lg).astype(jnp.float64)), None
+        v = jnp.einsum("cij,cj->ci", Mc, alpha)
+        c = jnp.sum(v, axis=1)
+        return (
+            v / c[:, None],
+            ll + (jnp.log(c) + lg).astype(jnp.float64),
+        ), None
 
-    init = (pi.astype(T.dtype), jnp.zeros((), jnp.float64))
-    (alpha, ll), _ = jax.lax.scan(step, init, (Ms, logs))
+    alpha0 = jnp.broadcast_to(pi.astype(Ms.dtype), (C, M))
+    init = (alpha0, jnp.zeros(C, jnp.float64))
+    (_, ll), _ = jax.lax.scan(step, init, (Ms_t, logs_t))
     return ll
+
+
+def loglik(pi, T, E, spans, keys, nbits, chunk):
+    "Total log-likelihood over a batch of contigs.  spans/keys: (C, L)."
+    Ms, logs = _all_chunk_products(T, E, spans, keys, nbits, chunk)
+    return jnp.sum(_scan_chunks(pi, Ms, logs))
+
+
+def forward_loglik(pi, T, E, spans, keys, nbits, chunk):
+    "Scaled-forward log-likelihood of one contig (spans/keys: (L,))."
+    return loglik(pi, T, E, spans[None], keys[None], nbits, chunk)
 
 
 def estep(pi, T, E, spans, keys, nbits, chunk):
@@ -123,24 +162,13 @@ def estep(pi, T, E, spans, keys, nbits, chunk):
     """
 
     def total_ll(pi, T, E):
-        lls = jax.vmap(
-            lambda s, k: forward_loglik(pi, T, E, s, k, nbits, chunk)
-        )(spans, keys)
-        return jnp.sum(lls)
+        return loglik(pi, T, E, spans, keys, nbits, chunk)
 
     ll, grads = jax.value_and_grad(total_ll, argnums=(0, 1, 2))(pi, T, E)
     gamma0 = pi * grads[0]
     xisum = T * grads[1]
     gamma_sums = E * grads[2]
     return ll, gamma0, xisum, gamma_sums
-
-
-def loglik(pi, T, E, spans, keys, nbits, chunk):
-    "Total log-likelihood over a batch of contigs (no gradients)."
-    lls = jax.vmap(lambda s, k: forward_loglik(pi, T, E, s, k, nbits, chunk))(
-        spans, keys
-    )
-    return jnp.sum(lls)
 
 
 def posterior_gammas(pi, T, E, spans, keys, nbits, chunk):
@@ -151,35 +179,30 @@ def posterior_gammas(pi, T, E, spans, keys, nbits, chunk):
     the emission vector (each position's emission contributes one factor, so
     the derivative counts posterior mass).  Matches the reference's
     save_gamma output up to its per-row normalization (commands/posterior.py
-    normalizes columns anyway).
-    """
+    normalizes columns anyway)."""
     L = spans.shape[0]
     Mdim = pi.shape[0]
+    n_chunks = L // chunk
 
     def ll_fn(logd):
         Escaled = E[keys] * jnp.exp(logd)  # (L, M) per-row emission vectors
-        n_chunks = L // chunk
         spans_c = spans.reshape(n_chunks, chunk)
         Ec = Escaled.reshape(n_chunks, chunk, Mdim)
 
-        @partial(jax.checkpoint, static_argnums=(3,))
+        @partial(jax.checkpoint, static_argnums=(3,), prevent_cse=False)
         def chunk_prod(T, Erows, sp, nbits):
             Tt = T.T
             B = Erows[:, :, None] * Tt[None]
             As, logs = jax.vmap(lambda b, s: _row_operator(b, s, nbits))(B, sp)
             return _tree_reduce(As, logs)
 
-        Ms, logs = jax.vmap(lambda e, s: chunk_prod(T, e, s, nbits))(Ec, spans_c)
-
-        def step(carry, x):
-            alpha, ll = carry
-            Mc, lg = x
-            v = Mc @ alpha
-            c = jnp.sum(v)
-            return (v / c, ll + (jnp.log(c) + lg).astype(jnp.float64)), None
-
-        init = (pi.astype(T.dtype), jnp.zeros((), jnp.float64))
-        (_, ll), _ = jax.lax.scan(step, init, (Ms, logs))
-        return ll
+        bs = min(_batch_size(chunk, Mdim), n_chunks)
+        Ms, logs = jax.lax.map(
+            lambda xs: chunk_prod(T, xs[0], xs[1], nbits),
+            (Ec, spans_c),
+            batch_size=bs,
+        )
+        ll = _scan_chunks(pi, Ms[None], logs[None])
+        return jnp.sum(ll)
 
     return jax.grad(ll_fn)(jnp.zeros((L, Mdim), dtype=T.dtype))

@@ -1,0 +1,60 @@
+"""Multi-device data parallelism: the sharded E-step must agree exactly with
+the single-device E-step (the psum of statistics is inserted by XLA when
+differentiating the sharded sum w.r.t. replicated tensors)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smcpp_tpu.ops import hmm
+from smcpp_tpu.parallel import mesh as mesh_mod
+
+
+def test_sharded_estep_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    rng = np.random.RandomState(0)
+    M, nk, C, L = 8, 12, 8, 64
+    pi = jnp.asarray(rng.dirichlet(np.ones(M)))
+    T = jnp.asarray(rng.dirichlet(np.ones(M), size=M))
+    E = jnp.asarray(rng.uniform(0.1, 1.0, (nk, M)))
+    spans = rng.geometric(0.3, size=(C, L)).astype(np.int32)
+    keys = rng.randint(0, nk, size=(C, L)).astype(np.int32)
+    nbits = int(spans.max()).bit_length()
+
+    ll1, g1, x1, gs1 = jax.jit(partial(hmm.estep, nbits=nbits, chunk=16))(
+        pi, T, E, jnp.asarray(spans), jnp.asarray(keys)
+    )
+
+    mesh = mesh_mod.make_mesh(jax.devices()[:8])
+    sp_d, ky_d = mesh_mod.shard_batch(mesh, spans, keys)
+    estep = mesh_mod.make_sharded_estep(mesh, nbits=nbits, chunk=16)
+    ll2, g2, x2, gs2 = estep(pi, T, E, sp_d, ky_d)
+
+    assert np.isclose(float(ll1), float(ll2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), rtol=1e-10)
+
+
+def test_sharded_padding_contigs():
+    "Contig-axis padding (C not a multiple of mesh size) changes nothing."
+    rng = np.random.RandomState(1)
+    M, nk, C, L = 4, 6, 5, 32
+    pi = jnp.asarray(rng.dirichlet(np.ones(M)))
+    T = jnp.asarray(rng.dirichlet(np.ones(M), size=M))
+    E = jnp.asarray(rng.uniform(0.1, 1.0, (nk, M)))
+    spans = rng.geometric(0.3, size=(C, L)).astype(np.int32)
+    keys = rng.randint(0, nk, size=(C, L)).astype(np.int32)
+    nbits = int(spans.max()).bit_length()
+
+    ll1, *_ = jax.jit(partial(hmm.estep, nbits=nbits, chunk=16))(
+        pi, T, E, jnp.asarray(spans), jnp.asarray(keys)
+    )
+    mesh = mesh_mod.make_mesh(jax.devices()[:8])
+    sp_d, ky_d = mesh_mod.shard_batch(mesh, spans, keys)
+    assert sp_d.shape[0] == 8
+    estep = mesh_mod.make_sharded_estep(mesh, nbits=nbits, chunk=16)
+    ll2, *_ = estep(pi, T, E, sp_d, ky_d)
+    assert np.isclose(float(ll1), float(ll2), rtol=1e-12)
