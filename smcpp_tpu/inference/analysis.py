@@ -118,11 +118,15 @@ class BaseAnalysis:
 
     def loglik(self, reg=True):
         ll = sum(im.loglik() for im in self._ims.values())
-        if reg:
-            ll -= self._penalty * float(
-                self._model.regularizer_fn(self._model.y)
-            )
+        if reg and self._penalty:
+            ll -= self._penalty * self._regularizer_value()
         return ll
+
+    def _regularizer_value(self):
+        m = self._model
+        if hasattr(m, "regularizer_fn"):
+            return float(m.regularizer_fn(m.y))
+        return float(m.regularizer())
 
     # -- parameter plumbing (base.py:147-175)
     @property
