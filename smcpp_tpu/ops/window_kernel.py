@@ -34,16 +34,31 @@ RESCALE_EVERY = 8
 FLOOR = 1e-35
 
 
+ONEHOT_MAX_KEYS = 384
+
+
 def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
     """Advance ``X`` (M, S, M) through a block of window steps.
 
     keys_blk, valid_blk: (B, S).  Rescales once at the end of the block.
+
+    The emission lookup uses a one-hot matmul instead of a gather when the
+    key table is small: the gather's transpose is a scatter-add, which is
+    ~40% of E-step time on TPU, while the one-hot form transposes to a plain
+    matmul (dE += onehot^T @ cotangent).
     """
     Mdim, S, _ = X.shape
+    n_keys = E.shape[0]
+    use_onehot = n_keys <= ONEHOT_MAX_KEYS
+    key_iota = jnp.arange(n_keys, dtype=jnp.int32)
 
     def step(X, kv):
         k, v = kv  # (S,) int, (S,) bool
-        e = E[k]  # (S, M)
+        if use_onehot:
+            oh = (k[:, None] == key_iota[None, :]).astype(E.dtype)
+            e = oh @ E  # (S, M)
+        else:
+            e = E[k]  # (S, M)
         Y = jnp.einsum("ij,jsk->isk", Tt, X)
         Y = Y * e.T[:, :, None]
         Y = jnp.maximum(Y, FLOOR)

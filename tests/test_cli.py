@@ -1,0 +1,91 @@
+"""CLI surface smoke test — the equivalent of the reference's
+test/run_test_long.sh: exercise every subcommand end-to-end on the bundled
+example VCF."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from smcpp_tpu.commands.main import main
+
+EXAMPLE = "/root/reference/example/example.vcf.gz"
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    os.makedirs(d / "out", exist_ok=True)
+    return d
+
+
+def test_version_and_cite(capsys):
+    main(["version"])
+    assert "smcpp_tpu" in capsys.readouterr().out
+    main(["cite"])
+    assert "Terhorst" in capsys.readouterr().out
+
+
+def test_vcf2smc(workdir):
+    main([
+        "vcf2smc", EXAMPLE, str(workdir / "chr1.smc.gz"), "1",
+        "pop1:msp_0,msp_1,msp_2,msp_3,msp_4",
+    ])
+    assert os.path.exists(workdir / "chr1.smc.gz")
+
+
+def test_vcf2smc_distinguished(workdir):
+    main([
+        "vcf2smc", "-d", "msp_1", "msp_1",
+        EXAMPLE, str(workdir / "chr1.d.smc.gz"), "1",
+        "pop1:msp_0,msp_1,msp_2,msp_3,msp_4",
+    ])
+    assert os.path.exists(workdir / "chr1.d.smc.gz")
+
+
+def test_estimate(workdir):
+    np.random.seed(0)
+    main([
+        "estimate", "-o", str(workdir / "out"), "--em-iterations", "1",
+        "--knots", "4", "1.25e-8", str(workdir / "chr1.smc.gz"),
+    ])
+    fn = workdir / "out" / "model.final.json"
+    assert os.path.exists(fn)
+    d = json.load(open(fn))
+    assert d["model"]["class"] == "SMCModel"
+
+
+def test_plot(workdir):
+    main([
+        "plot", "-c", str(workdir / "plot.png"),
+        str(workdir / "out" / "model.final.json"),
+    ])
+    assert os.path.exists(workdir / "plot.png")
+    assert os.path.exists(workdir / "plot.csv")
+
+
+def test_posterior(workdir):
+    main([
+        "posterior", "--M", "16",
+        "--heatmap", str(workdir / "heat.png"),
+        str(workdir / "out" / "model.final.json"),
+        str(workdir / "post.npz"),
+        str(workdir / "chr1.smc.gz"),
+    ])
+    z = np.load(workdir / "post.npz")
+    assert "hidden_states" in z
+    g = z[str(workdir / "chr1.smc.gz")]
+    assert g.shape[0] == 16
+    np.testing.assert_allclose(g.sum(axis=0), 1.0, atol=1e-4)
+    assert os.path.exists(workdir / "heat.png")
+
+
+def test_chunk(workdir):
+    os.makedirs(workdir / "chunks", exist_ok=True)
+    main([
+        "chunk", "-w", "100000", "5",
+        str(workdir / "chunks" / "c.{}.smc.gz"),
+        str(workdir / "chr1.smc.gz"),
+    ])
+    assert os.path.exists(workdir / "chunks" / "c.0.smc.gz")
