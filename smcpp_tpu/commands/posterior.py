@@ -62,12 +62,19 @@ class Posterior(command.Command, command.ConsoleCommand):
 
             all_obs = [thin_data(o, args.thinning) for o in all_obs]
         n = contigs[0].n
-        if len(n) != 1:
-            sys.exit("two-population posterior decoding not yet supported here")
-        im = OnePopInferenceManager(
-            n[0], all_obs, hidden_states, contigs[0].key[0],
-            args.polarization_error,
-        )
+        if len(n) == 1:
+            im = OnePopInferenceManager(
+                n[0], all_obs, hidden_states, contigs[0].key[0],
+                args.polarization_error,
+            )
+        else:
+            from ..inference.manager import TwoPopInferenceManager
+
+            a = contigs[0].a
+            im = TwoPopInferenceManager(
+                n[0], n[1], a[0], a[1], all_obs, hidden_states,
+                contigs[0].key[0], args.polarization_error,
+            )
         im.set_model(m)
         im.theta = j["theta"]
         im.rho = j["rho"]

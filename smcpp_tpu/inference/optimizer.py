@@ -110,10 +110,34 @@ class SMCPPOptimizer:
         a.model.y = y0 + res.x
 
     # -- EM loop (optimizers.py:154-188)
+    def _occupancy_diagnostics(self):
+        "plugins/hidden_state_occupancy.py: xisum occupancy + perplexity."
+        import numpy as np
+
+        for pid, im in self._analysis._ims.items():
+            if im._stats is None:
+                continue
+            _, xisum, _ = im._stats
+            occ = xisum.sum(axis=1)
+            tot = occ.sum()
+            if tot <= 0:
+                continue
+            p = occ / tot
+            perp = float(
+                np.exp(-np.sum(np.where(p > 0, p * np.log(np.maximum(p, 1e-300)), 0.0)))
+            ) / len(p)
+            logger.debug("hidden state occupancy (%s): %s", pid, p.round(3))
+            if perp < defaults.perplexity_threshold:
+                logger.warning(
+                    "Posterior concentrated in few hidden states "
+                    "(perplexity %.2f); consider different time points.", perp
+                )
+
     def run(self, niter):
         try:
             for i in range(niter):
                 self._analysis.E_step()
+                self._occupancy_diagnostics()
                 ll = self._analysis.loglik()
                 self._check_termination(ll)
                 if self._outdir:
