@@ -1,5 +1,12 @@
 """Pallas TPU kernel for the window-lockstep E-step forward/backward.
 
+STATUS: correct (forward bit-exact vs the XLA kernel on TPU; backward within
+f32 tolerance) but currently ~15% slower than the one-hot XLA window kernel
+at human scale: the 8x block-diagonal padding waste cancels the VMEM-residency
+win, and XLA's default-precision matmuls use faster bf16 passes.  Kept as an
+alternative backend and the substrate for future bf16/waste-free packing;
+ops/window_kernel.py remains the default E-step path.
+
 Improves on the XLA window kernel (ops/window_kernel.py) in two ways:
 
 1. **MXU packing**: P = 128 // M copies of T^T are packed into one
@@ -126,7 +133,9 @@ def _bwd_kernel(Tblk_ref, E_ref, keys_ref, Xin_ref, dXout_ref, dlogs_ref,
         # de_pmt[p, i, s8] = sum_k dH4[p, i, k, s8] * G4[p, i, k, s8]
         de_pmt = jnp.sum(dH4 * G4, axis=2)  # (P, M, TSP)
         # dE[n, m] = sum_{p, s8} oh[p, s8, n] * de_pmt[p, m, s8]
-        dE = dE + _dot(oh, de_pmt, (0, 1), (0, 2))
+        # (Mosaic needs single contracting dims: unroll the small P axis)
+        for p in range(P):
+            dE = dE + _dot(oh[p], de_pmt[p], (0,), (1,))
         dG = dG4.reshape(LANES, M * TSP)
         # dT[a, b] = sum_c dG[a, c] * Xt[b, c]
         dT = dT + _dot(dG, Xt, (1,), (1,))
@@ -158,21 +167,21 @@ def _block(Tblk, E_full, keys_blk, Xin, logs, n_keys, M, P):
         partial(_fwd_kernel, B=B, n_keys=n_keys, M=M, P=P),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+            pl.BlockSpec((LANES, LANES), lambda i: (i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(E_full.shape, lambda i: (0, 0),
+            pl.BlockSpec(E_full.shape, lambda i: (i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, P, TSP), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((B, 1, P, TSP), lambda i: (i * 0, i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, TSP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, P, TSP), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, TSP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, P, TSP), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -197,25 +206,25 @@ def _block_bwd(n_keys, M, P, res, cot):
         partial(_bwd_kernel, B=B, n_keys=n_keys, M=M, P=P),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+            pl.BlockSpec((LANES, LANES), lambda i: (i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(E_full.shape, lambda i: (0, 0),
+            pl.BlockSpec(E_full.shape, lambda i: (i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, P, TSP), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((B, 1, P, TSP), lambda i: (i * 0, i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, TSP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, P, TSP), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, LANES, M * TSP), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + E_full.shape, lambda i: (i, 0, 0),
+            pl.BlockSpec((1,) + E_full.shape, lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
