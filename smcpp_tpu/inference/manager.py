@@ -279,6 +279,8 @@ class OnePopInferenceManager(_EagerQOps):
 
     # ------------------------------------------------------------------
     def E_step(self):
+        if len(self.hidden_states) == 2 and not self.save_gamma:
+            return self._estep_m1()
         pi, T, E = self.tensors()
         dt = self._estep_dtype
         pi_d = jax.device_put(jnp.asarray(pi, dt), self._device)
@@ -300,6 +302,32 @@ class OnePopInferenceManager(_EagerQOps):
         )
         if self.save_gamma:
             self.gammas = self._compute_gammas(pi_d, T_d, E_d)
+        return self._ll
+
+    def _estep_m1(self):
+        """Exact closed-form E-step for a single hidden interval (M == 1,
+        the stage-1 warm start): the HMM degenerates to independent sites, so
+        the per-key posterior masses are just the span totals.  Avoids
+        running the kernel over per-base (unbinned) data."""
+        if not hasattr(self, "_key_counts"):
+            spans = np.asarray(self._spans)
+            keys = np.asarray(self._keys)
+            self._key_counts = np.bincount(
+                keys.ravel(),
+                weights=spans.ravel().astype(np.float64),
+                minlength=self.em_idx.n_keys,
+            )
+            self._n_contigs = spans.shape[0]
+        _, _, E = self.tensors()
+        logE = np.log(np.asarray(E)[:, 0])
+        counts = self._key_counts
+        self._ll = float(counts @ logE)
+        total = counts.sum()
+        self._stats = (
+            np.array([float(self._n_contigs)]),
+            np.array([[total]]),
+            counts[:, None].copy(),
+        )
         return self._ll
 
     def _compute_gammas(self, pi_d, T_d, E_d):
