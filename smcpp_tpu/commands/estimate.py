@@ -21,5 +21,13 @@ class Estimate(command.EstimationCommand, command.ConsoleCommand):
         command.EstimationCommand.main(self, args)
         if not (1e-11 <= args.mu <= 1e-5):
             logger.warning("Mutation rate %g — is this correct?", args.mu)
+        if getattr(args, "profile_dir", None):
+            import jax
+
+            jax.profiler.start_trace(args.profile_dir)
         analysis = Analysis(args.data, args)
         analysis.run()
+        if getattr(args, "profile_dir", None):
+            import jax
+
+            jax.profiler.stop_trace()

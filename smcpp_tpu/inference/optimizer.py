@@ -68,14 +68,23 @@ class SMCPPOptimizer:
                 logger.info("grad check %d: fd=%g ad=%g", i, (y1 - y0) * 1e8, dy[i])
                 x0[i] -= 1e-8
         if len(x0) > 1:
-            res = scipy.optimize.minimize(
-                self._f,
-                x0,
-                jac=True,
-                args=(coords,),
-                bounds=bounds,
-                method=self._algorithm if self._algorithm != "Powell" else "L-BFGS-B",
-            )
+            if self._algorithm == "Powell":
+                # gradient-free, as in the reference (optimizers.py:82)
+                res = scipy.optimize.minimize(
+                    lambda x: self._f(x, coords)[0],
+                    x0,
+                    bounds=bounds,
+                    method="Powell",
+                )
+            else:
+                res = scipy.optimize.minimize(
+                    self._f,
+                    x0,
+                    jac=True,
+                    args=(coords,),
+                    bounds=bounds,
+                    method=self._algorithm,
+                )
         else:
             res = scipy.optimize.minimize_scalar(
                 lambda x: self._f(np.array([x]), coords)[0],

@@ -96,3 +96,18 @@ def test_posterior_gamma(smc_file):
     keep = spans > 0
     # each row's gamma sums to its span
     np.testing.assert_allclose(g[keep].sum(axis=1), spans[keep], rtol=1e-3)
+
+
+def test_estimate_cubic_spline(smc_file, tmp_path):
+    "The cubic-spline model path end-to-end."
+    from smcpp_tpu.inference.analysis import Analysis
+
+    np.random.seed(1)
+    a = Analysis(
+        [smc_file],
+        make_args(outdir=str(tmp_path), spline="cubic", em_iterations=1, knots=6),
+    )
+    a.run()
+    assert np.isfinite(a.loglik())
+    sv = a.model.stepwise_values()
+    assert np.all(sv > 0) and np.all(np.isfinite(sv))
