@@ -486,7 +486,12 @@ class TwoPopInferenceManager(_EagerQOps):
         E = em_mod.emission_matrix(self.em_idx, em, e2)
         return pi, T, E
 
+    _estep_m1 = OnePopInferenceManager._estep_m1
+
     def E_step(self):
+        if len(self.hidden_states) == 2 and not self.save_gamma:
+            # single hidden interval (the split search): closed form
+            return self._estep_m1()
         pi, T, E = self.tensors()
         dt = self._estep_dtype
         pi_d = jax.device_put(jnp.asarray(pi, dt), self._device)
