@@ -38,3 +38,30 @@ def calculate_t1(model, n, q):
         return np.expm1(-c * eta.R(t)) + q
 
     return scipy.optimize.brentq(f, 0.0, model.knots[-1])
+
+
+def extract_pieces(piece_str):
+    """Convert a PSMC-style piece string like "32*1+16*2" to piece spans
+    (estimation_tools.py:28-38)."""
+    pieces = []
+    for piece in piece_str.split("+"):
+        try:
+            num, span = map(int, piece.split("*"))
+        except ValueError:
+            span = int(piece)
+            num = 1
+        pieces += [span] * num
+    return pieces
+
+
+def construct_time_points(t1, tK, pieces, offset):
+    "Log-spaced time points grouped by pieces (estimation_tools.py:41-48)."
+    s = np.diff(
+        np.logspace(np.log10(offset + t1), np.log10(tK), sum(pieces) + 1)
+    )
+    time_points = np.zeros(len(pieces))
+    count = 0
+    for i, p in enumerate(pieces):
+        time_points[i] = s[count : count + p].sum()
+        count += p
+    return np.concatenate([[t1], time_points])
