@@ -70,3 +70,50 @@ def test_split_end_to_end(twopop_data):
     sa.dump(os.path.join(args.outdir, "model.final"))
     d = json.load(open(os.path.join(args.outdir, "model.final.json")))
     assert d["model"]["class"] == "SMCTwoPopulationModel"
+
+
+def test_twopop_posterior(twopop_data, tmp_path):
+    "Two-population posterior decoding through the CLI."
+    import numpy as np
+
+    from smcpp_tpu.commands.main import main
+    from smcpp_tpu.inference.analysis import Analysis
+
+    base, f1, f2, f12 = twopop_data
+    fit = base / "p1" / "model.final.json"
+    if not fit.exists():
+        np.random.seed(0)
+        out = str(base / "p1")
+        os.makedirs(out, exist_ok=True)
+        a = Analysis([f1], make_args(outdir=out))
+        a.run()
+        a.dump(os.path.join(out, "model.final"))
+    # decode the joint data with the one-pop model is invalid; build a joint
+    # model json via split-style dict
+    import json as _json
+
+    from smcpp_tpu.models import SMCModel, SMCTwoPopulationModel
+
+    d = _json.load(open(fit))
+    m1 = SMCModel.from_dict(d["model"])
+    m2 = SMCModel.from_dict(d["model"])
+    m2._pid = "pop2"
+    m1._pid = "pop1"
+    jm = SMCTwoPopulationModel(m1, m2, float(m1.knots[-1]) / 2)
+    jd = {
+        "model": jm.to_dict(),
+        "theta": d["theta"],
+        "rho": d["rho"],
+        "alpha": d["alpha"],
+        "hidden_states": d["hidden_states"],
+    }
+    jfit = tmp_path / "joint.json"
+    _json.dump(jd, open(jfit, "w"))
+    out_npz = tmp_path / "post2.npz"
+    main([
+        "posterior", "--M", "8", str(jfit), str(out_npz), f12,
+    ])
+    z = np.load(out_npz)
+    g = z[f12]
+    assert g.shape[0] == 8
+    assert np.all(np.isfinite(g))
