@@ -97,6 +97,8 @@ def add_common_estimation_args(parser):
                            help="regularization penalty")
     optimizer.add_argument("--lambda", dest="lambda_", type=float,
                            help=argparse.SUPPRESS)
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of the run here")
     add_hmm_args(parser)
 
 
@@ -113,7 +115,8 @@ def add_model_parameters(parser):
     model = parser.add_argument_group("model parameters")
     model.add_argument("--knots", type=int, default=defaults.knots,
                        help="number of spline knots")
-    model.add_argument("--spline", choices=["cubic", "pchip", "piecewise", "akima"],
+    model.add_argument("--spline",
+                       choices=["cubic", "pchip", "piecewise", "akima", "bspline"],
                        default=defaults.spline, help="model representation")
     return model
 

@@ -231,7 +231,7 @@ class Analysis(BaseAnalysis):
         self._init_knots(hs, t1, tK)
         old = self._model
         self._init_model(args.spline)
-        self._model.y = np.log(old(self._knots))
+        self._model.set_knot_values(old(self._knots))
         self._init_inference_manager(args.polarization_error, self.hidden_states)
         self.alpha = args.w
         self._init_optimizer(

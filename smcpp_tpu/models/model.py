@@ -69,7 +69,7 @@ class SMCModel:
         self._spline = spline_mod.SPLINE_CLASSES[self._spline_name](
             np.log(self._knots)
         )
-        self.y = np.zeros(len(self._knots))
+        self.y = np.zeros(getattr(self._spline, "n_coef", len(self._knots)))
 
     # -- canonical name as the reference serializes it
     _CANONICAL = {
@@ -77,10 +77,12 @@ class SMCModel:
         "cubic": "CubicSpline",
         "pchip": "PChipSpline",
         "akima": "AkimaSpline",
+        "bspline": "BSpline",
         "Piecewise": "Piecewise",
         "CubicSpline": "CubicSpline",
         "PChipSpline": "PChipSpline",
         "AkimaSpline": "AkimaSpline",
+        "BSpline": "BSpline",
     }
 
     @property
@@ -97,7 +99,8 @@ class SMCModel:
 
     @property
     def K(self):
-        return len(self._knots)
+        "Number of free parameters (== knots except for BSpline: K + 2)."
+        return len(self.y)
 
     @property
     def s(self):
@@ -120,6 +123,14 @@ class SMCModel:
     def for_pop(self, pid):
         assert pid == self.pid
         return self
+
+    def set_knot_values(self, values):
+        "Set y so the spline matches log values at the knots (bspline: lsq fit)."
+        logv = np.log(np.asarray(values, dtype=np.float64))
+        if hasattr(self._spline, "fit_to"):
+            self.y = np.asarray(self._spline.fit_to(logv))
+        else:
+            self.y = logv.copy()
 
     # ---- differentiable pipeline -------------------------------------
     def eval_at(self, y, points):
@@ -255,11 +266,11 @@ class SMCTwoPopulationModel:
         kts = np.unique(np.sort(np.r_[m1.knots, m2.knots, self._split]))
         i = np.searchsorted(kts, self._split)
         m = SMCModel(kts, m1.N0, m2._spline_name, m2.pid)
-        y = np.empty(len(kts))
-        y[:i] = np.log(m2(kts[:i]))
-        y[i] = np.log(m1(np.array([self._split]))[0])
-        y[i + 1 :] = np.log(m1(kts[i + 1 :]))
-        m.y = y
+        vals = np.empty(len(kts))
+        vals[:i] = m2(kts[:i])
+        vals[i] = m1(np.array([self._split]))[0]
+        vals[i + 1 :] = m1(kts[i + 1 :])
+        m.set_knot_values(vals)
         return m
 
     def regularizer(self):

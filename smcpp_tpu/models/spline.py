@@ -181,14 +181,64 @@ class AkimaSpline(CubicSpline):
         return jnp.stack([d, c, b, y])
 
 
+class BSpline(Spline):
+    """Cubic B-spline over a clamped knot vector.
+
+    The reference's symbolic PPoly construction (spline/bspline.py) uses
+    K + 2 control points for K knots; evaluation is linear in the control
+    points, so here it reduces to a static design matrix (scipy) applied to
+    the traced coefficient vector.  Flat extrapolation outside the knots,
+    second-difference roughness (bspline.py:123-124).
+    """
+
+    P = 3
+
+    def __init__(self, x):
+        super().__init__(x)
+        import scipy.interpolate
+
+        K = len(self.x)
+        self._t = np.concatenate(
+            [[self.x[0]] * 3, self.x, [self.x[-1]] * 3]
+        )
+        self.n_coef = K + 2
+
+        def design(points):
+            pts = np.clip(points, self.x[0], self.x[-1])
+            return np.asarray(
+                scipy.interpolate.BSpline.design_matrix(
+                    pts, self._t, 3, extrapolate=False
+                ).todense()
+            )
+
+        self._design = design
+        # least-squares fit of control points to values at the knots
+        Dk = design(self.x)
+        self._fit_pinv = np.linalg.pinv(Dk)
+
+    def __call__(self, y, points):
+        points = np.atleast_1d(np.asarray(points, dtype=np.float64))
+        D = self._design(points)  # static (Q, K+2)
+        return D @ jnp.asarray(y)
+
+    def fit_to(self, knot_values):
+        "Control points whose spline least-squares matches values at knots."
+        return self._fit_pinv @ np.asarray(knot_values, dtype=np.float64)
+
+    def roughness(self, y):
+        return jnp.sum(jnp.diff(y, 2) ** 2)
+
+
 SPLINE_CLASSES = {
     "piecewise": Piecewise,
     "cubic": CubicSpline,
     "pchip": PChipSpline,
     "akima": AkimaSpline,
+    "bspline": BSpline,
     # names as serialized by the reference (model JSON compatibility)
     "Piecewise": Piecewise,
     "CubicSpline": CubicSpline,
     "PChipSpline": PChipSpline,
     "AkimaSpline": AkimaSpline,
+    "BSpline": BSpline,
 }

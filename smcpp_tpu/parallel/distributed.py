@@ -1,0 +1,69 @@
+"""Multi-host execution.
+
+The reference has no distributed backend at all (SURVEY.md §2.3); here
+multi-host scaling is plain `jax.distributed` + the same `('data',)` mesh
+code path as single-host (parallel/mesh.py): jit global arrays span hosts,
+and the E-step statistics all-reduce over ICI/DCN exactly as they do over a
+single chip's virtual mesh.
+
+Typical launch (one process per host):
+
+    import smcpp_tpu.parallel.distributed as dist
+    dist.initialize()                    # reads coordinator env vars
+    mesh = dist.global_mesh()            # all devices across hosts
+    keys, valid, NS, C = mesh_mod.pack_windows_sharded(local_data, ...)
+    estep = mesh_mod.make_sharded_window_estep(mesh, NS, C)
+
+Host-local contig data should be placed with
+`jax.make_array_from_process_local_data` so each host only materializes its
+shard.
+"""
+
+import logging
+
+import jax
+import numpy as np
+
+from .mesh import make_mesh
+
+logger = logging.getLogger(__name__)
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize jax.distributed (no-op when single-process).
+
+    With no arguments, jax reads JAX_COORDINATOR_ADDRESS / slurm / TPU pod
+    environment variables.
+    """
+    if num_processes == 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        logger.info(
+            "jax.distributed initialized: process %d / %d, %d local of %d "
+            "global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
+    except Exception as e:  # already initialized / single host
+        logger.debug("jax.distributed.initialize skipped: %s", e)
+
+
+def global_mesh():
+    "('data',) mesh over every device across all hosts."
+    return make_mesh(jax.devices())
+
+
+def shard_local_contigs(mesh, keys, valid):
+    """Place this host's (C_local*NS, L) window arrays into the global
+    contig-sharded arrays."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data", None))
+    gk = jax.make_array_from_process_local_data(sh, np.asarray(keys))
+    gv = jax.make_array_from_process_local_data(sh, np.asarray(valid))
+    return gk, gv

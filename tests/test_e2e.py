@@ -111,3 +111,18 @@ def test_estimate_cubic_spline(smc_file, tmp_path):
     assert np.isfinite(a.loglik())
     sv = a.model.stepwise_values()
     assert np.all(sv > 0) and np.all(np.isfinite(sv))
+
+
+def test_estimate_bspline(smc_file, tmp_path):
+    "The bspline model path end-to-end (K+2 control points)."
+    from smcpp_tpu.inference.analysis import Analysis
+
+    np.random.seed(2)
+    a = Analysis(
+        [smc_file],
+        make_args(outdir=str(tmp_path), spline="bspline", em_iterations=1, knots=6),
+    )
+    a.run()
+    assert np.isfinite(a.loglik())
+    sv = a.model.stepwise_values()
+    assert np.all(sv > 0) and np.all(np.isfinite(sv))

@@ -88,3 +88,19 @@ def test_model_roundtrip():
     assert len(m.s) == 100
     sv = m.stepwise_values()
     assert np.all(sv >= 1e-3) and np.all(sv <= 1e3)
+
+
+def test_bspline():
+    s = sp.BSpline(KNOTS)
+    y = s.fit_to(np.log(np.array([1.0, 1.5, 2.0, 1.2, 0.8])))
+    assert len(y) == len(KNOTS) + 2
+    vals = np.array(s(y, KNOTS))
+    np.testing.assert_allclose(
+        np.exp(vals), [1.0, 1.5, 2.0, 1.2, 0.8], rtol=0.15
+    )
+    # flat extrapolation
+    assert np.isclose(float(s(y, [1e-3])[0]), vals[0], atol=1e-8)
+    assert np.isclose(float(s(y, [100.0])[0]), vals[-1], atol=1e-8)
+    # grads
+    g = np.array(jax.grad(lambda yy: (s(yy, np.linspace(0.2, 5, 7)) ** 2).sum())(y))
+    assert np.all(np.isfinite(g))
