@@ -37,6 +37,10 @@ class Cv(command.EstimationCommand, command.ConsoleCommand):
                             help="number of folds for cross-validation")
         parser.add_argument("--fold", type=int,
                             help="run a specific fold only")
+        parser.add_argument("--rp-values",
+                            type=lambda v: [int(x) for x in v.split(",")],
+                            default=list(range(2, 10)),
+                            help=argparse.SUPPRESS)
         parser.add_argument("data", nargs="+", help="data file(s) in SMC++ format")
 
     def main(self, args):
@@ -70,7 +74,7 @@ class Cv(command.EstimationCommand, command.ConsoleCommand):
                     [args.data[j] for j in range(L) if j in fold], args
                 )
                 best = float("-inf")
-                for j in range(2, 10):
+                for j in args.rp_values:
                     args.regularization_penalty = j
                     train = Analysis(
                         [args.data[k] for k in range(L) if k not in fold], args

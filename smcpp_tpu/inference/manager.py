@@ -365,7 +365,15 @@ class OnePopInferenceManager(_EagerQOps):
         return float(v), np.asarray(g)
 
     def _q_args(self, y, theta, rho, alpha):
-        gamma0, xisum, gamma_sums = self._stats
+        # keep the (constant-per-E-step) statistics resident on the setup
+        # device so each of the ~100 M-step evaluations skips the transfer
+        if getattr(self, "_stats_dev_of", None) is not self._stats:
+            self._stats_dev = tuple(
+                jax.device_put(jnp.asarray(s, jnp.float64), self._cpu)
+                for s in self._stats
+            )
+            self._stats_dev_of = self._stats
+        gamma0, xisum, gamma_sums = self._stats_dev
         return (
             jnp.asarray(self.model.y if y is None else y, jnp.float64),
             self.theta if theta is None else theta,
