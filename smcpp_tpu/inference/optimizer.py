@@ -161,6 +161,11 @@ class SMCPPOptimizer:
                     x0 = self._analysis.model.y[coords]
                     res = self._minimize(x0, coords)
                     self._analysis.model.y[coords] = res.x
+                if logger.isEnabledFor(logging.DEBUG):
+                    logger.debug(
+                        "size history after iteration %d:\n%s",
+                        i, ascii_size_history(self._analysis.model),
+                    )
         except EMTerminationException:
             pass
         if self._outdir:
@@ -206,3 +211,27 @@ class TwoPopulationOptimizer(SMCPPOptimizer):
             pass
         if self._outdir:
             self._analysis.dump(os.path.join(self._outdir, f"{self._base}.final"))
+
+
+def ascii_size_history(model, width=60, height=10):
+    """Text rendering of N(t) for the EM log (parity with the reference's
+    gnuplot ascii_plotter plugin, without the gnuplot dependency)."""
+    import numpy as np
+
+    t = np.cumsum(model.s)
+    v = np.log10(np.asarray(model.stepwise_values(), dtype=float))
+    cols = np.linspace(0, len(t) - 1, width).astype(int)
+    vv = v[cols]
+    lo, hi = vv.min(), vv.max()
+    if hi - lo < 1e-3:
+        hi = lo + 1e-3
+    rows = np.clip(((vv - lo) / (hi - lo) * (height - 1)).round(), 0, height - 1)
+    grid = [[" "] * width for _ in range(height)]
+    for x, r in enumerate(rows.astype(int)):
+        grid[height - 1 - r][x] = "*"
+    lines = ["%6.2f |%s" % (hi - (hi - lo) * i / (height - 1), "".join(row))
+             for i, row in enumerate(grid)]
+    lines.append("       +" + "-" * width)
+    lines.append("        log10(N/2N0) vs t in (%.3g, %.3g) coalescent units"
+                 % (t[0], t[-1]))
+    return "\n".join(lines)
