@@ -15,7 +15,7 @@ from . import exact, ratefunc
 from .grid import TimeGrid
 
 
-def conditioned_sfs(a, grid: TimeGrid, n: int):
+def conditioned_sfs(a, grid: TimeGrid, n: int, xp=jnp):
     """CSFS branch lengths, shape (M, 3, n+1).
 
     Row a' in {0,1,2} = derived-allele count in the distinguished pair,
@@ -25,17 +25,17 @@ def conditioned_sfs(a, grid: TimeGrid, n: int):
     mei = exact.moran_eigensystem(n)
 
     # ---- below part (conditioned_sfs.cpp:12-39)
-    tb = ratefunc.tjj_below(a, grid, n)  # (M, n+1)
+    tb = ratefunc.tjj_below(a, grid, n, xp)  # (M, n+1)
     row0_below = tb @ mc.M0  # (M, n) -> goes in [0, 1:]
     row1_below = tb @ mc.M1  # (M, n+1) -> row 1
 
     # ---- above part (conditioned_sfs.cpp:41-83)
-    C = ratefunc.tjj_above(a, grid, n)  # (M, n+1, n); axes (h, jj-2, j-2)
+    C = ratefunc.tjj_above(a, grid, n, xp)  # (M, n+1, n); axes (h, jj-2, j-2)
     # tmp0[h, k] = sum_i X0[i, k] * C[h, k, i]   (eigen index k pairs with jj)
-    tmp0 = jnp.einsum("ik,hki->hk", mc.X0, C)
+    tmp0 = xp.einsum("ik,hki->hk", mc.X0, C)
     # tmp2 pairs X2 with the eigen-reversed C
     Cf = C[:, ::-1, :]
-    tmp2 = jnp.einsum("ik,hki->hk", mc.X2, Cf)
+    tmp2 = xp.einsum("ik,hki->hk", mc.X2, Cf)
     Uinv_mp0 = mei.Uinv[:, 1:]  # rightCols(n), (n+1, n)
     Uinv_rev = mei.Uinv[::-1, ::-1]
     Uinv_mp2 = Uinv_rev[:, :n]  # (n+1, n)
@@ -43,6 +43,12 @@ def conditioned_sfs(a, grid: TimeGrid, n: int):
     row2_above = tmp2 @ Uinv_mp2  # (M, n) -> [2, :n]
 
     M = grid.M
+    if xp is not jnp:
+        out = np.zeros((M, 3, n + 1))
+        out[:, 0, 1:] = row0_below + row0_above
+        out[:, 1, :] = row1_below
+        out[:, 2, :n] = row2_above
+        return out
     out = jnp.zeros((M, 3, n + 1), dtype=tb.dtype)
     out = out.at[:, 0, 1:].set(row0_below + row0_above)
     out = out.at[:, 1, :].set(row1_below)

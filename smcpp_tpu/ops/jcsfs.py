@@ -57,7 +57,9 @@ def truncate_params(a, s, trunc):
 def csfs_raw(a, s, hidden_states, n):
     "One-pop CSFS for raw (a, s) params: (M, 3, n+1) NumPy array."
     g = grid_mod.make_time_grid(s, np.asarray(hidden_states, dtype=np.float64))
-    return np.asarray(csfs_mod.conditioned_sfs(np.asarray(a), g, n))
+    return csfs_mod.conditioned_sfs(
+        np.asarray(a, dtype=np.float64), g, n, xp=np
+    )
 
 
 def undistinguished_sfs(csfs):
@@ -315,7 +317,9 @@ class JointCSFS:
         from . import exact, ratefunc
 
         mc = exact.cached_matrices(self.n1)
-        tb = np.asarray(ratefunc.tjj_below(jnp.asarray(a1p), g, self.n1))
+        tb = ratefunc.tjj_below(
+            np.asarray(a1p, dtype=np.float64), g, self.n1, xp=np
+        )
         out = np.zeros((3, self.n1 + 1))
         out[0, 1:] = tb[0] @ mc.M0
         out[1, :] = tb[0] @ mc.M1

@@ -37,15 +37,15 @@ def ada_on_grid(a, grid: TimeGrid):
     return (1.0 / a)[grid.src]
 
 
-def cumulative_rate(ada, grid: TimeGrid):
+def cumulative_rate(ada, grid: TimeGrid, xp=jnp):
     """R(ts[i]) for every grid point i (K+1 values).
 
     The last entry is a huge-but-finite number standing in for R(inf).
     """
-    return jnp.concatenate([jnp.zeros(1, ada.dtype), jnp.cumsum(ada * grid.dt)])
+    return xp.concatenate([xp.zeros(1, ada.dtype), xp.cumsum(ada * grid.dt)])
 
 
-def _log_denoms(Rr, grid: TimeGrid):
+def _log_denoms(Rr, grid: TimeGrid, xp=jnp):
     """log P(coal in hidden interval h) for each h — with a leading -R_h shift.
 
     Matches ``log_denom`` of the reference (= -R_h + log(-expm1(-(R_h1-R_h)))):
@@ -55,10 +55,10 @@ def _log_denoms(Rr, grid: TimeGrid):
     Rh1 = Rr[grid.hs_indices[1:]]
     dR = Rh1 - Rh
     # log(-expm1(-x)), stable in both regimes; dR can be huge (terminal piece)
-    log1mexp = jnp.where(
+    log1mexp = xp.where(
         dR > 0.6931471805599453,
-        jnp.log1p(-jnp.exp(-jnp.minimum(dR, 700.0))),
-        jnp.log(-jnp.expm1(-jnp.maximum(dR, 1e-300))),
+        xp.log1p(-xp.exp(-xp.minimum(dR, 700.0))),
+        xp.log(-xp.expm1(-xp.maximum(dR, 1e-300))),
     )
     return -Rh + log1mexp
 
@@ -109,7 +109,7 @@ def average_coal_times(a, grid: TimeGrid):
     return jnp.where(dR > 0, x, jnp.nan)
 
 
-def _log_single_integrals(rates, ada, Rr, grid: TimeGrid):
+def _log_single_integrals(rates, ada, Rr, grid: TimeGrid, xp=jnp):
     """log of int_{ts_k}^{ts_{k+1}} exp(-rate * R(t)) dt per (rate, piece).
 
     rates: static numpy int array (R,).  Returns (R, K).
@@ -121,33 +121,39 @@ def _log_single_integrals(rates, ada, Rr, grid: TimeGrid):
     rates_safe = np.where(rates == 0, 1.0, rates)
     zero_piece = (grid.dt <= 0.0)[None, :]
     x = rates_safe * ada[None, :] * grid.dt[None, :]  # (R,K), > 0
-    x_safe = jnp.where(zero_piece, 1.0, x)
-    log1mexp = jnp.where(
+    x_safe = xp.where(zero_piece, 1.0, x)
+    log1mexp = xp.where(
         x_safe > 0.6931471805599453,
-        jnp.log1p(-jnp.exp(-jnp.minimum(x_safe, 700.0))),
-        jnp.log(-jnp.expm1(-x_safe)),
+        xp.log1p(-xp.exp(-xp.minimum(x_safe, 700.0))),
+        xp.log(-xp.expm1(-x_safe)),
     )
-    log_si = -rates * Rr[None, :-1] + log1mexp - jnp.log(ada[None, :] * rates_safe)
+    log_si = -rates * Rr[None, :-1] + log1mexp - xp.log(ada[None, :] * rates_safe)
     # rate == 0: integral is just the piece width
-    log_si = jnp.where(rates == 0, jnp.log(np.maximum(grid.dt, 1e-300))[None, :], log_si)
-    return jnp.where(zero_piece, -jnp.inf, log_si)
+    log_si = xp.where(rates == 0, np.log(np.maximum(grid.dt, 1e-300))[None, :], log_si)
+    return xp.where(zero_piece, -np.inf, log_si)
 
 
-def _suffix_lse(log_si):
+def _cumlse(x, xp):
+    if xp is np:
+        return np.logaddexp.accumulate(x, axis=1)
+    return jax.lax.cumlogsumexp(x, axis=1)
+
+
+def _suffix_lse(log_si, xp=jnp):
     "logsumexp over pieces strictly after k, shape-preserving.  (R,K) -> (R,K)"
     rev = log_si[:, ::-1]
-    c = jax.lax.cumlogsumexp(rev, axis=1)[:, ::-1]
+    c = _cumlse(rev, xp)[:, ::-1]
     # exclusive: shift left; last entry has empty suffix
-    return jnp.concatenate([c[:, 1:], jnp.full_like(c[:, :1], -jnp.inf)], axis=1)
+    return xp.concatenate([c[:, 1:], xp.full_like(c[:, :1], -np.inf)], axis=1)
 
 
-def _prefix_lse(log_si):
+def _prefix_lse(log_si, xp=jnp):
     "logsumexp over pieces strictly before k.  (R,K) -> (R,K)"
-    c = jax.lax.cumlogsumexp(log_si, axis=1)
-    return jnp.concatenate([jnp.full_like(c[:, :1], -jnp.inf), c[:, :-1]], axis=1)
+    c = _cumlse(log_si, xp)
+    return xp.concatenate([xp.full_like(c[:, :1], -np.inf), c[:, :-1]], axis=1)
 
 
-def tjj_below(a, grid: TimeGrid, n: int):
+def tjj_below(a, grid: TimeGrid, n: int, xp=jnp):
     """Double integrals "below": (M, n+1) matrix of
     E[int_0^T exp(-rate_j * R(t)) dt | T in interval h] branch-length moments,
     rate_j = C(j,2)-1 for j = 2..n+2.
@@ -155,8 +161,8 @@ def tjj_below(a, grid: TimeGrid, n: int):
     Reference: piecewise_constant_rate_function.cpp:301-334.
     """
     ada = ada_on_grid(a, grid)
-    Rr = cumulative_rate(ada, grid)
-    ld = _log_denoms(Rr, grid)
+    Rr = cumulative_rate(ada, grid, xp)
+    ld = _log_denoms(Rr, grid, xp)
     h_of_m = grid.interval_of_piece
     ld_m = ld[h_of_m]  # (K,)
 
@@ -170,31 +176,31 @@ def tjj_below(a, grid: TimeGrid, n: int):
     adaK = ada[None, :]
 
     l1r = 1.0 + ratesf
-    coef = jnp.exp(-l1r * Rm - ld_m[None, :])
+    coef = xp.exp(-l1r * Rm - ld_m[None, :])
     # rate > 0 closed form (degrades correctly for ad -> inf)
-    v_pos = coef * (jnp.expm1(-l1r * ad) / l1r - jnp.expm1(-ad)) / (
-        jnp.where(ratesf == 0, 1.0, ratesf) * adaK
+    v_pos = coef * (xp.expm1(-l1r * ad) / l1r - xp.expm1(-ad)) / (
+        np.where(ratesf == 0, 1.0, ratesf) * adaK
     )
     # rate == 0 closed form
-    v_zero = jnp.exp(-Rm - ld_m[None, :]) * (
-        1.0 - jnp.exp(-ad) * (1.0 + ad)
+    v_zero = xp.exp(-Rm - ld_m[None, :]) * (
+        1.0 - xp.exp(-ad) * (1.0 + ad)
     ) / adaK
-    dia = jnp.where(ratesf == 0, v_zero, v_pos)
-    dia = jnp.where(zero_piece, 0.0, dia)
+    dia = xp.where(ratesf == 0, v_zero, v_pos)
+    dia = xp.where(zero_piece, 0.0, dia)
 
     # single-integral part: fac_m * exp(-Rm - ld) * sum_{k<m} si(rate, k)
-    log_si = _log_single_integrals(rates, ada, Rr, grid)
-    plse = _prefix_lse(log_si)  # (R,K)
+    log_si = _log_single_integrals(rates, ada, Rr, grid, xp)
+    plse = _prefix_lse(log_si, xp)  # (R,K)
     dRm = (Rr[1:] - Rr[:-1])[None, :]
-    fac = -jnp.expm1(-dRm)  # == 1 automatically on the terminal piece
-    term2 = fac * jnp.exp(-Rm - ld_m[None, :] + plse)
+    fac = -xp.expm1(-dRm)  # == 1 automatically on the terminal piece
+    term2 = fac * xp.exp(-Rm - ld_m[None, :] + plse)
 
     total = dia + term2  # (R,K)
     seg = grid.segment_matrix()
-    return jnp.einsum("hk,rk->hr", seg, total)  # (M, n+1)
+    return xp.einsum("hk,rk->hr", seg, total)  # (M, n+1)
 
 
-def tjj_above(a, grid: TimeGrid, n: int):
+def tjj_above(a, grid: TimeGrid, n: int, xp=jnp):
     """Double integrals "above": (M, n+1, n) tensor C with
     C[h, jj-2, j-2], jj = 2..n+2 (Moran eigen-rate lam = C(jj,2)-1),
     j = 2..n+1 (coalescent rate C(j,2)).
@@ -202,8 +208,8 @@ def tjj_above(a, grid: TimeGrid, n: int):
     Reference: piecewise_constant_rate_function.cpp:213-299.
     """
     ada = ada_on_grid(a, grid)
-    Rr = cumulative_rate(ada, grid)
-    ld = _log_denoms(Rr, grid)
+    Rr = cumulative_rate(ada, grid, xp)
+    ld = _log_denoms(Rr, grid, xp)
     h_of_m = grid.interval_of_piece
     ld_m = ld[h_of_m]
 
@@ -218,7 +224,7 @@ def tjj_above(a, grid: TimeGrid, n: int):
     adaK = ada[None, None, :]
     zero_piece = (grid.dt <= 0.0)[None, None, :]
 
-    coef = jnp.exp(-l1 * Rm - ld_m[None, None, :])
+    coef = xp.exp(-l1 * Rm - ld_m[None, None, :])
     eq = l1 == r  # static (JJ,J,1)
     denom_lr = np.where(l1 - r == 0, 1.0, l1 - r)  # static safe denominator
     # |l1 - r| with a static positive floor: keeps the unselected branches of
@@ -227,40 +233,40 @@ def tjj_above(a, grid: TimeGrid, n: int):
     abs_lr = np.where(l1 == r, 1.0, np.abs(l1 - r))
 
     # l1 == rate
-    v_eq = coef * (1.0 - jnp.exp(-r * ad) * (1.0 + r * ad)) / (r * r) / adaK
+    v_eq = coef * (1.0 - xp.exp(-r * ad) * (1.0 + r * ad)) / (r * r) / adaK
     # rate < l1
     v_lt = -coef * (
-        jnp.expm1(-l1 * ad) / l1
-        + jnp.exp(-r * ad) * (-jnp.expm1(-abs_lr * ad)) / denom_lr
+        xp.expm1(-l1 * ad) / l1
+        + xp.exp(-r * ad) * (-xp.expm1(-abs_lr * ad)) / denom_lr
     ) / (r * adaK)
     # rate > l1
     v_gt = -coef * (
-        jnp.expm1(-l1 * ad) / l1
-        + jnp.exp(-l1 * ad) * jnp.expm1(-abs_lr * ad) / denom_lr
+        xp.expm1(-l1 * ad) / l1
+        + xp.exp(-l1 * ad) * xp.expm1(-abs_lr * ad) / denom_lr
     ) / (r * adaK)
-    dia = jnp.where(eq, v_eq, jnp.where(r < l1, v_lt, v_gt))
-    dia = jnp.where(zero_piece, 0.0, dia)
+    dia = xp.where(eq, v_eq, xp.where(r < l1, v_lt, v_gt))
+    dia = xp.where(zero_piece, 0.0, dia)
 
     # single-integral part.  rp = l1 - rate;
     #   rp == 0: (Rm1 - Rm) * exp(-ld + suffix)
     #   rp != 0: exp(-rp * pivotR - ld + suffix) * (-expm1(-|rp| dR)) / |rp|
     # where suffix = logsumexp_{k>m} log si(rate, k).
-    log_si = _log_single_integrals(nC2(js), ada, Rr, grid)  # (J,K)
-    slse = _suffix_lse(log_si)[None, :, :]  # (1,J,K)
+    log_si = _log_single_integrals(nC2(js), ada, Rr, grid, xp)  # (J,K)
+    slse = _suffix_lse(log_si, xp)[None, :, :]  # (1,J,K)
 
     rp = l1 - r  # (JJ,J,1) static values
     arp = np.abs(np.broadcast_to(rp, (n + 1, n, 1)))
     arp_safe = np.where(arp == 0, 1.0, arp)
     dR = Rm1 - Rm
-    pivotR = jnp.where(rp > 0, Rm, Rm1)
+    pivotR = xp.where(rp > 0, Rm, Rm1)
     arg = -rp * pivotR - ld_m[None, None, :] + slse
-    t_ne = jnp.exp(arg) * (-jnp.expm1(-arp_safe * dR)) / arp_safe
-    t_eq = dR * jnp.exp(-ld_m[None, None, :] + slse)
-    term2 = jnp.where(rp == 0, t_eq, t_ne)
+    t_ne = xp.exp(arg) * (-xp.expm1(-arp_safe * dR)) / arp_safe
+    t_eq = dR * xp.exp(-ld_m[None, None, :] + slse)
+    term2 = xp.where(rp == 0, t_eq, t_ne)
 
     total = dia + term2  # (JJ,J,K)
     seg = grid.segment_matrix()
-    return jnp.einsum("hk,ijk->hij", seg, total)  # (M, JJ, J)
+    return xp.einsum("hk,ijk->hij", seg, total)  # (M, JJ, J)
 
 
 # ---------------------------------------------------------------------------
