@@ -86,8 +86,18 @@ class SMCPPOptimizer:
                     method=self._algorithm,
                 )
         else:
+            # value-only objective: the bounded scalar search never uses the
+            # gradient, so skip the backward pass
+            a = self._analysis
+
+            def f1(x):
+                y = a.model.y.copy()
+                y[coords] = x
+                q = a.Q(y=y)
+                return np.inf if not np.isfinite(q) else -q
+
             res = scipy.optimize.minimize_scalar(
-                lambda x: self._f(np.array([x]), coords)[0],
+                f1,
                 bounds=tuple(bounds[0]),
                 method="bounded",
                 options={"xatol": self._xtol},
