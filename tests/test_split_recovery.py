@@ -1,0 +1,62 @@
+"""Split-time recovery: simulate a two-population dataset under a known
+split with the joint generative HMM, then verify the split search recovers
+the truth (the framework's analogue of the reference's momi/scrm
+cross-validation of the JCSFS)."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from smcpp_tpu.data.simulate import write_simulated_joint
+from smcpp_tpu.models import SMCModel, SMCTwoPopulationModel
+
+
+@pytest.mark.slow
+def test_split_recovery(tmp_path):
+    from smcpp_tpu.inference.split import SplitAnalysis
+
+    knots = np.array([0.05, 0.2, 0.8, 3.0])
+    m1 = SMCModel(knots, 2e4, "piecewise", "pop1")
+    m1.y[:] = np.log(1.0)
+    m2 = SMCModel(knots, 2e4, "piecewise", "pop2")
+    m2.y[:] = np.log(0.7)
+    true_split = 0.4
+    joint = SMCTwoPopulationModel(m1, m2, true_split)
+    theta = rho = 1e-4
+
+    files = []
+    for i in range(2):
+        fn = str(tmp_path / f"j{i}.smc.gz")
+        write_simulated_joint(fn, joint, theta, rho, L=3_000_000,
+                              n1=4, n2=4, seed=i)
+        files.append(fn)
+
+    # write the true marginal fits the split command would consume
+    for m, name in [(m1, "p1"), (m2, "p2")]:
+        d = {
+            "theta": theta, "rho": rho, "alpha": 1,
+            "model": m.to_dict(),
+            "hidden_states": {m.pid: [0.0]},
+        }
+        json.dump(d, open(tmp_path / f"{name}.json", "w"))
+
+    args = argparse.Namespace(
+        mu=theta / (2 * 2e4), r=None, em_iterations=1, knots=4,
+        spline="piecewise", polarization_error=0.5, unfold=False, w=100,
+        thinning=None, timepoints=None, outdir=str(tmp_path / "out"),
+        base="model", algorithm="L-BFGS-B", xtol=0.1, ftol=1e-4,
+        regularization_penalty=6, lambda_=None, nonseg_cutoff=None,
+        multi=False, cores=None, seed=0,
+        pop1=str(tmp_path / "p1.json"), pop2=str(tmp_path / "p2.json"),
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    np.random.seed(0)
+    sa = SplitAnalysis(files, args)
+    sa.run(1)
+    got = sa.model.split
+    # recovered split within a factor of 2 of truth (loose: M=1 SFS-only
+    # search, 6 Mb of data) and clearly away from the search bounds
+    assert 0.5 * true_split < got < 2.0 * true_split, got
