@@ -89,3 +89,16 @@ def test_chunk(workdir):
         str(workdir / "chr1.smc.gz"),
     ])
     assert os.path.exists(workdir / "chunks" / "c.0.smc.gz")
+
+
+def test_simulate_hmm_engine(workdir):
+    "simulate --engine hmm writes valid SMC++ data (no msprime needed)."
+    from smcpp_tpu.data.format import load_contig
+
+    out = str(workdir / "sim.smc.gz")
+    main([
+        "simulate", "--engine", "hmm",
+        str(workdir / "out" / "model.final.json"), "3", "200000", out,
+    ])
+    c = load_contig(out)
+    assert c.data[:, 0].sum() == 200000
