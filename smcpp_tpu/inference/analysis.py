@@ -97,6 +97,33 @@ class BaseAnalysis:
         reg = self._penalty * float(self._model.regularizer_fn(yv))
         return qq - reg
 
+    @property
+    def has_fast_batch(self):
+        "All managers expose the vmapped Q fast path."
+        return all(
+            getattr(im, "supports_qbatch", False) for im in self._ims.values()
+        )
+
+    def Q_batch(self, ys=None, rhos=None):
+        """Penalized Q at a batch of candidate y rows / rho values; one
+        vmapped evaluation per manager (see manager.Q_batch)."""
+        tot = None
+        for im in self._ims.values():
+            v = im.Q_batch(ys=ys, rhos=rhos)
+            tot = v if tot is None else tot + v
+        if self._penalty and ys is not None:
+            tot = tot - self._penalty * self._reg_batch(np.asarray(ys))
+        return tot
+
+    def _reg_batch(self, ys):
+        import jax
+
+        key = id(self._model)
+        if getattr(self, "_reg_batch_key", None) != key:
+            self._reg_batch_fn = jax.jit(jax.vmap(self._model.regularizer_fn))
+            self._reg_batch_key = key
+        return np.asarray(self._reg_batch_fn(ys))
+
     def Q_and_grad(self, y=None):
         import jax
 

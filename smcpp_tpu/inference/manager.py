@@ -264,6 +264,14 @@ class OnePopInferenceManager(_EagerQOps):
                 jax.jit(fn, device=self._cpu),
                 jax.jit(q, device=self._cpu),
                 jax.jit(jax.value_and_grad(q, argnums=0), device=self._cpu),
+                # batched Q over candidate (y, rho) rows: the M-step's
+                # scalar searches evaluate a whole candidate grid in ONE
+                # call (the Q graph is dispatch-bound, so a width-B vmap
+                # costs barely more than a single evaluation)
+                jax.jit(
+                    jax.vmap(q, in_axes=(0, None, 0, None, None, None, None)),
+                    device=self._cpu,
+                ),
             )
         return self._setup_cache[key]
 
@@ -273,7 +281,7 @@ class OnePopInferenceManager(_EagerQOps):
             grid = grid_mod.make_time_grid(marg.s, self.hidden_states)
             a = np.asarray(marg.stepwise_values(), dtype=np.float64)
             return self._eager_tensors(grid, a)
-        fn, _, _ = self._setup()
+        fn = self._setup()[0]
         y = jnp.asarray(self.model.y, dtype=jnp.float64)
         return fn(y, self.theta, self.rho, self.alpha)
 
@@ -355,14 +363,43 @@ class OnePopInferenceManager(_EagerQOps):
         E_step are constants."""
         if getattr(self, "_joint", False):
             return self._eager_q(*self.tensors())
-        _, q, _ = self._setup()
+        q = self._setup()[1]
         return float(q(*self._q_args(y, theta, rho, alpha)))
 
     def Q_and_grad(self, y=None, theta=None, rho=None, alpha=None):
         "(Q, dQ/dy) at (possibly overridden) parameters."
-        _, _, qvg = self._setup()
+        qvg = self._setup()[2]
         v, g = qvg(*self._q_args(y, theta, rho, alpha))
         return float(v), np.asarray(g)
+
+    @property
+    def supports_qbatch(self):
+        "Fast vectorized Q is available (jitted setup path, not eager/joint)."
+        return not getattr(self, "_joint", False)
+
+    def Q_batch(self, ys=None, rhos=None, theta=None, alpha=None):
+        """Q at a batch of candidate parameters in ONE vmapped evaluation.
+
+        ``ys``: (B, K) candidate y rows (default: current y, tiled), and/or
+        ``rhos``: (B,) candidate recombination rates (default: current rho).
+        Returns a (B,) float array.  The Q graph is small-op dispatch-bound
+        on the f64 CPU backend, so evaluating B candidates together costs
+        far less than B sequential calls — this is what makes the M-step's
+        grid-based scalar searches (optimizer._batched_argmax) fast."""
+        if ys is None and rhos is None:
+            raise ValueError("Q_batch needs ys and/or rhos")
+        qb = self._setup()[3]
+        y0, th, rho0, al, g0, xs, gs = self._q_args(None, theta, None, alpha)
+        B = len(ys) if ys is not None else len(rhos)
+        if ys is None:
+            ysb = jnp.tile(y0[None, :], (B, 1))
+        else:
+            ysb = jnp.asarray(np.asarray(ys, np.float64))
+        if rhos is None:
+            rhob = jnp.full((B,), rho0, jnp.float64)
+        else:
+            rhob = jnp.asarray(np.asarray(rhos, np.float64))
+        return np.asarray(qb(ysb, th, rhob, al, g0, xs, gs))
 
     def _q_args(self, y, theta, rho, alpha):
         # keep the (constant-per-E-step) statistics resident on the setup

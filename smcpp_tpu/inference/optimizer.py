@@ -89,26 +89,82 @@ class SMCPPOptimizer:
             # value-only objective: the bounded scalar search never uses the
             # gradient, so skip the backward pass
             a = self._analysis
+            lo, hi = bounds[0]
+            if getattr(a, "has_fast_batch", False):
+                y0 = a.model.y.copy()
 
-            def f1(x):
-                y = a.model.y.copy()
-                y[coords] = x
-                q = a.Q(y=y)
-                return np.inf if not np.isfinite(q) else -q
+                def fb(xs):
+                    ys = np.tile(y0, (len(xs), 1))
+                    ys[:, coords[0]] = xs
+                    return a.Q_batch(ys=ys)
 
-            res = scipy.optimize.minimize_scalar(
-                f1,
-                bounds=tuple(bounds[0]),
-                method="bounded",
-                options={"xatol": self._xtol},
-            )
-            res.x = np.array([res.x])
+                x, _ = self._batched_argmax(fb, lo, hi, self._xtol)
+                if x is None:
+                    x = x0[0]
+                res = scipy.optimize.OptimizeResult(x=np.array([x]))
+            else:
+
+                def f1(x):
+                    y = a.model.y.copy()
+                    y[coords] = x
+                    q = a.Q(y=y)
+                    return np.inf if not np.isfinite(q) else -q
+
+                res = scipy.optimize.minimize_scalar(
+                    f1,
+                    bounds=(lo, hi),
+                    method="bounded",
+                    options={"xatol": self._xtol},
+                )
+                res.x = np.array([res.x])
         return res
+
+    # -- batched scalar maximization: one vmapped Q per shrink round
+    _BATCH = 24
+
+    def _batched_argmax(self, f_batch, lo, hi, xatol, log=False,
+                        max_rounds=6):
+        """Maximize a scalar objective by shrinking-grid search.
+
+        Each round evaluates a B-point grid with ONE batched Q call
+        (analysis.Q_batch), then zooms to +-1 grid spacing around the best
+        point.  Resolution after r rounds is span * (2/(B-1))**r, so 2-3
+        rounds beat the ~12 sequential evaluations of a golden-section
+        search at a fraction of the wall time.  With ``log=True`` the grid
+        is geometric (for rho's multi-decade range)."""
+        if log:
+            lo, hi = np.log(lo), np.log(hi)
+        best_x, best_v = None, -np.inf
+        for _ in range(max_rounds):
+            xs = np.linspace(lo, hi, self._BATCH)
+            vals = np.asarray(f_batch(np.exp(xs) if log else xs), float)
+            vals = np.where(np.isfinite(vals), vals, -np.inf)
+            j = int(np.argmax(vals))
+            if vals[j] > best_v:
+                best_v, best_x = float(vals[j]), xs[j]
+            w = (hi - lo) / (self._BATCH - 1)
+            lo, hi = max(lo, xs[j] - w), min(hi, xs[j] + w)
+            if hi - lo <= xatol:
+                break
+        if best_x is None:  # every candidate non-finite; caller keeps x0
+            return None, -np.inf
+        return (np.exp(best_x) if log else best_x), best_v
 
     # -- scalar pre-M-step optimizations
     def _optimize_param(self, param, bounds):
         "plugins/parameter_optimizer.py"
         a = self._analysis
+        if param == "rho" and getattr(a, "has_fast_batch", False):
+            # geometric grid over the multi-decade rho range, one vmapped
+            # Q per shrink round
+            x, _ = self._batched_argmax(
+                lambda xs: a.Q_batch(rhos=xs), bounds[0], bounds[1],
+                xatol=0.02, log=True,
+            )
+            if x is not None:
+                logger.info("New %s: %g", param, x)
+                setattr(a, param, float(x))
+            return
 
         def f(x):
             return -a.Q(**{param: x})
@@ -121,6 +177,14 @@ class SMCPPOptimizer:
         "plugins/scale_optimizer.py: global additive shift of log N."
         a = self._analysis
         y0 = a.model.y.copy()
+        if getattr(a, "has_fast_batch", False):
+            x, _ = self._batched_argmax(
+                lambda xs: a.Q_batch(ys=y0[None, :] + xs[:, None]),
+                -1.0, 1.0, self._xtol,
+            )
+            if x is not None:
+                a.model.y = y0 + x
+            return
 
         def f(shift):
             return -a.Q(y=y0 + shift)

@@ -98,6 +98,41 @@ def test_posterior_gamma(smc_file):
     np.testing.assert_allclose(g[keep].sum(axis=1), spans[keep], rtol=1e-3)
 
 
+def test_q_batch_matches_sequential(smc_file):
+    "Vectorized Q_batch == per-candidate Q (the M-step's batched search)."
+    from smcpp_tpu.inference.manager import OnePopInferenceManager
+    from smcpp_tpu.models import SMCModel
+    from smcpp_tpu.inference import estimation
+
+    c = load_contig(smc_file)
+    m = SMCModel([0.01, 3.0], 20000.0, "piecewise")
+    m.y[:] = 0.1
+    hs = estimation.balance_hidden_states(m, 8)
+    im = OnePopInferenceManager(c.n[0], [c.data], hs, ("pop1",), 0.5)
+    im.set_model(m)
+    im.theta = 1e-4
+    im.rho = 1e-4
+    im.alpha = 1
+    im.E_step()
+    assert im.supports_qbatch
+
+    rng = np.random.default_rng(1)
+    ys = 0.1 + rng.normal(0, 0.3, size=(5, len(m.y)))
+    qb = im.Q_batch(ys=ys)
+    qs = np.array([im.Q(y=y) for y in ys])
+    np.testing.assert_allclose(qb, qs, rtol=1e-10)
+
+    rhos = np.array([3e-5, 1e-4, 7e-4])
+    qb = im.Q_batch(rhos=rhos)
+    qs = np.array([im.Q(rho=r) for r in rhos])
+    np.testing.assert_allclose(qb, qs, rtol=1e-10)
+
+    # both batched at once
+    qb = im.Q_batch(ys=ys[:3], rhos=rhos)
+    qs = np.array([im.Q(y=y, rho=r) for y, r in zip(ys[:3], rhos)])
+    np.testing.assert_allclose(qb, qs, rtol=1e-10)
+
+
 def test_estimate_cubic_spline(smc_file, tmp_path):
     "The cubic-spline model path end-to-end."
     from smcpp_tpu.inference.analysis import Analysis
