@@ -306,11 +306,14 @@ class PerContigFilter(Filter):
 
 @dataclass
 class LoadData(Filter):
+    def __init__(self, cores=None):
+        self.cores = cores
+
     def run(self, files):
         from . import format as fmt
 
         files = fmt.files_from_command_line_args(files)
-        contigs = fmt.load_data(files)
+        contigs = fmt.load_data(files, cores=self.cores)
         L = sum(c.data[:, 0].sum() for c in contigs)
         logger.info("%.2f Gb of data", L * 1e-9)
         pops = set(c.pid for c in contigs)

@@ -99,6 +99,7 @@ def files_from_command_line_args(args):
     return sorted(set(ret))
 
 
-def load_data(files):
-    with ThreadPoolExecutor() as p:
+def load_data(files, cores=None):
+    "Parallel contig loading; ``cores`` caps the worker threads (--cores)."
+    with ThreadPoolExecutor(max_workers=cores) as p:
         return list(p.map(load_contig, files))

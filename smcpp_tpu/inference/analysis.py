@@ -35,7 +35,7 @@ class BaseAnalysis:
             args.polarization_error = 0.0
 
         pipe = self._pipeline = df.DataPipeline(files)
-        pipe.add_filter(load_data=df.LoadData())
+        pipe.add_filter(load_data=df.LoadData(cores=getattr(args, 'cores', None)))
         pipe.add_filter(df.RecodeNonseg(cutoff=getattr(args, "nonseg_cutoff", None)))
         pipe.add_filter(df.Compress())
         pipe.add_filter(df.BreakLongSpans(cutoff=100000))
