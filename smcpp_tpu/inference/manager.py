@@ -151,6 +151,13 @@ class OnePopInferenceManager(_EagerQOps):
         self._cpu = _cpu_device()
         self._device = compute_device or jax.devices()[0]
 
+        if self.n > 60:
+            logger.warning(
+                "n=%d undistinguished lineages: the float64 CSFS spectral "
+                "contraction loses accuracy beyond n~60 (the reference's "
+                "compensated summation shares the same error floor); "
+                "consider a smaller panel (see docs/ROADMAP.md).", self.n,
+            )
         all_keys = np.unique(
             np.concatenate([d[:, 1:] for d in data_list], axis=0), axis=0
         )

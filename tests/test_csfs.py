@@ -113,6 +113,30 @@ def test_incorporate_theta_distribution():
     np.testing.assert_allclose(em.sum(axis=(1, 2)), 1.0, atol=1e-6)
 
 
+def test_csfs_large_n_envelope():
+    """Accuracy envelope of the f64 CSFS "above" contraction.
+
+    The spectral contraction sum_i X0[i,k] C[h,k,i] cancels by up to
+    ~1e15 at mid eigen-indices for large n, and the result is then
+    amplified by Uinv columns of comparable magnitude.  The error floor
+    is set by the f64 error of the C integrals themselves, so no
+    summation trick can push much past n ~ 60 (the reference's sorted
+    doubly-compensated summation, conditioned_sfs.cpp:55-80, has the
+    same input-error floor and degrades in the same regime; measured
+    here: n=50 -> 7e-5, n=55 -> 3e-3, n=60 -> 0.16, n>=65 -> garbage).
+    This test pins the supported boundary; the stable reformulation
+    (tridiagonal resolvent solves against the Moran generator instead
+    of the spectral shortcut) is docs/ROADMAP.md item 6."""
+    s = np.array([1.0, 1.0, 2.0])
+    a = np.ones(3)
+    g = gridmod.make_time_grid(s, np.array([0.0, np.inf]))
+    for n, tol in [(50, 1e-3), (55, 2e-2)]:
+        out = np.asarray(csfs.conditioned_sfs(a, g, n, xp=np))[0]
+        undist = undistinguished_sfs(out)
+        np.testing.assert_allclose(undist[1:], 2.0 / np.arange(1, n + 2),
+                                   rtol=tol)
+
+
 def test_csfs_gradient_fd():
     rng = np.random.RandomState(4)
     s = rng.uniform(0.05, 0.4, 6)
