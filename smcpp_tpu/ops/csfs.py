@@ -15,14 +15,25 @@ from . import exact, ratefunc
 from .grid import TimeGrid
 
 
-def conditioned_sfs(a, grid: TimeGrid, n: int, xp=jnp):
+def conditioned_sfs(a, grid: TimeGrid, n: int, xp=jnp, dtype=None):
     """CSFS branch lengths, shape (M, 3, n+1).
 
     Row a' in {0,1,2} = derived-allele count in the distinguished pair,
     column b in {0..n} = derived count among the undistinguished lineages.
+
+    ``dtype=np.longdouble`` (NumPy path only) runs the whole pipeline —
+    exact-matrix conversion, tjj integrals, spectral contractions — in
+    80-bit precision, extending the large-n accuracy envelope from
+    n ~ 60 to n ~ 75+ (see tests/test_csfs.py::test_csfs_large_n_envelope).
     """
-    mc = exact.cached_matrices(n)
-    mei = exact.moran_eigensystem(n)
+    if dtype is not None:
+        assert xp is np, "high-precision path is NumPy-only"
+        mc = exact.cached_matrices_hp(n)
+        mei = exact.moran_eigensystem_hp(n)
+        a = np.asarray(a, dtype=dtype)
+    else:
+        mc = exact.cached_matrices(n)
+        mei = exact.moran_eigensystem(n)
 
     # ---- below part (conditioned_sfs.cpp:12-39)
     tb = ratefunc.tjj_below(a, grid, n, xp)  # (M, n+1)
@@ -44,7 +55,7 @@ def conditioned_sfs(a, grid: TimeGrid, n: int, xp=jnp):
 
     M = grid.M
     if xp is not jnp:
-        out = np.zeros((M, 3, n + 1))
+        out = np.zeros((M, 3, n + 1), dtype=row1_below.dtype)
         out[:, 0, 1:] = row0_below + row0_above
         out[:, 1, :] = row1_below
         out[:, 2, :n] = row2_above

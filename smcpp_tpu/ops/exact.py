@@ -68,9 +68,10 @@ class MoranEigensystem:
     D: np.ndarray  # (n+1,) eigenvalues -(k(k-1)/2 - 1), k = 2..n+2
 
 
-@lru_cache(maxsize=None)
-def moran_eigensystem(n: int) -> MoranEigensystem:
-    """Exact eigenvectors for the known eigenvalues -(k(k-1)/2 - 1).
+@lru_cache(maxsize=2)
+def _moran_eigensystem_exact(n: int):
+    """Exact eigenvectors for the known eigenvalues -(k(k-1)/2 - 1), as
+    rational (Fraction) row lists plus the float eigenvalue vector.
 
     Reference: moran_eigensystem.cpp:67-96.  The transpose solve for Uinv
     swaps the sub/sup bands; the first column of Uinv is completed from the
@@ -106,10 +107,26 @@ def moran_eigensystem(n: int) -> MoranEigensystem:
         inv = F1 / d
         for i in range(n + 1):
             U[i][k] *= inv
+    return U, Uinv, D
 
-    Uf = np.array([[float(x) for x in row] for row in U])
-    Uinvf = np.array([[float(x) for x in row] for row in Uinv])
-    return MoranEigensystem(U=Uf, Uinv=Uinvf, D=D)
+
+@lru_cache(maxsize=None)
+def moran_eigensystem(n: int) -> MoranEigensystem:
+    U, Uinv, D = _moran_eigensystem_exact(n)
+    return MoranEigensystem(
+        U=_frac_array(U, np.float64), Uinv=_frac_array(Uinv, np.float64), D=D
+    )
+
+
+@lru_cache(maxsize=4)
+def moran_eigensystem_hp(n: int) -> MoranEigensystem:
+    "Long-double conversion of the exact eigensystem (large-n CSFS path)."
+    U, Uinv, D = _moran_eigensystem_exact(n)
+    return MoranEigensystem(
+        U=_frac_array(U, np.longdouble),
+        Uinv=_frac_array(Uinv, np.longdouble),
+        D=D.astype(np.longdouble),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +177,32 @@ def _below_coeffs(n):
                 mnew[i][k - 2] -= mnew[i][k - 1] * c2
         mlast = mnew
     return mlast  # (n+1) x (n+1) Fractions
+
+
+def _frac_to_longdouble(x: Fraction) -> np.longdouble:
+    """Fraction -> 80-bit long double, correct to ~1 ulp for any magnitude.
+
+    float(Fraction) would round through float64 (53 bits); here the 64-bit
+    mantissa is extracted with integer shifts so the extended precision is
+    real.  Used by the high-precision (xp=np, dtype=longdouble) CSFS path."""
+    if x == 0:
+        return np.longdouble(0.0)
+    num, den = x.numerator, x.denominator
+    sign = 1.0 if (num < 0) == (den < 0) else -1.0
+    num, den = abs(num), abs(den)
+    e = num.bit_length() - den.bit_length()
+    s = 64 - e
+    t = (num << s) // den if s >= 0 else num // (den << -s)
+    return np.longdouble(sign) * np.ldexp(np.longdouble(t), e - 64)
+
+
+def _frac_array(rows, dtype):
+    if dtype == np.longdouble:
+        return np.array(
+            [[_frac_to_longdouble(x) for x in row] for row in rows],
+            dtype=np.longdouble,
+        )
+    return np.array([[float(x) for x in row] for row in rows])
 
 
 @dataclass(frozen=True)
@@ -229,3 +272,41 @@ def cached_matrices(n: int) -> MatrixCache:
     except OSError:
         pass
     return mc
+
+
+@lru_cache(maxsize=4)
+def cached_matrices_hp(n: int) -> MatrixCache:
+    """Long-double MatrixCache: the rational weights AND the assembling
+    matrix products are carried in 80-bit precision, which is what extends
+    the CSFS accuracy envelope past n ~ 60 (the f64 X0/X2 already carry the
+    rounding of a strongly-cancelling Wnbj.T @ diag @ U product)."""
+    ld = np.longdouble
+    mei = moran_eigensystem_hp(n)
+    D_sub_above = np.arange(1, n + 1, dtype=ld) / ld(n + 1)
+    D_sub_below = ld(2.0) / np.arange(2, n + 3, dtype=ld)
+
+    Wnbj = np.zeros((n, n), dtype=ld)
+    for b in range(1, n + 1):
+        for j in range(2, n + 2):
+            Wnbj[b - 1, j - 2] = _frac_to_longdouble(_Wnbj(n + 1, b, j))
+
+    P_dist = np.zeros((n + 1, n + 1), dtype=ld)
+    for k in range(0, n + 1):
+        for b in range(1, n - k + 2):
+            P_dist[k, b - 1] = _frac_to_longdouble(_pnkb_dist(n, k, b))
+
+    P_undist = np.zeros((n + 1, n), dtype=ld)
+    for k in range(1, n + 1):
+        for b in range(1, n - k + 2):
+            P_undist[k, b - 1] = _frac_to_longdouble(_pnkb_undist(n, k, b))
+
+    lsp = np.arange(2, n + 3, dtype=ld)
+    bc = _frac_array(_below_coeffs(n), ld)
+
+    U = mei.U
+    X0 = Wnbj.T @ np.diag(ld(1.0) - D_sub_above) @ U[1:, :]
+    U_rev = U[::-1, ::-1]
+    X2 = Wnbj.T @ np.diag(D_sub_above) @ U_rev[:n, :]
+    M0 = bc @ np.diag(lsp * (ld(1.0) - D_sub_below)) @ P_undist
+    M1 = bc @ np.diag(lsp * D_sub_below) @ P_dist
+    return MatrixCache(X0=X0, X2=X2, M0=M0, M1=M1)

@@ -135,6 +135,15 @@ def test_csfs_large_n_envelope():
         undist = undistinguished_sfs(out)
         np.testing.assert_allclose(undist[1:], 2.0 / np.arange(1, n + 2),
                                    rtol=tol)
+    # the 80-bit long-double path buys ~3 digits: n=50 -> 9e-8,
+    # n=65 -> 7e-3 (f64 is garbage there), breaking down by n ~ 75
+    for n, tol in [(50, 1e-6), (65, 2e-2)]:
+        out = np.asarray(
+            csfs.conditioned_sfs(a, g, n, xp=np, dtype=np.longdouble)
+        )[0].astype(np.float64)
+        undist = undistinguished_sfs(out)
+        np.testing.assert_allclose(undist[1:], 2.0 / np.arange(1, n + 2),
+                                   rtol=tol)
 
 
 def test_csfs_gradient_fd():
