@@ -15,6 +15,28 @@ from . import command
 logger = logging.getLogger(__name__)
 
 
+def posterior_quantiles(gamma, hidden_states, qs):
+    """Posterior TMRCA quantiles per row from the decoded state masses.
+
+    Piecewise-linear CDF inversion within each hidden interval; the
+    terminal (infinite) interval reports its left edge.  Returns
+    (len(qs), L) in coalescent units."""
+    cdf = np.cumsum(gamma, axis=0)  # (M, L)
+    hs = np.asarray(hidden_states)
+    out = np.empty((len(qs), gamma.shape[1]))
+    for qi, q in enumerate(qs):
+        m = np.argmax(cdf >= q, axis=0)  # first interval crossing q
+        prev = np.take_along_axis(
+            np.vstack([np.zeros((1, cdf.shape[1])), cdf]), m[None], 0
+        )[0]
+        g = np.take_along_axis(gamma, m[None], 0)[0]
+        lo, hi = hs[m], hs[m + 1]
+        hi = np.where(np.isinf(hi), lo, hi)
+        frac = np.clip((q - prev) / np.maximum(g, 1e-30), 0.0, 1.0)
+        out[qi] = lo + frac * (hi - lo)
+    return out
+
+
 class Posterior(command.Command, command.ConsoleCommand):
     "Store/visualize posterior decoding of TMRCA"
 
@@ -30,6 +52,15 @@ class Posterior(command.Command, command.ConsoleCommand):
         parser.add_argument("--colorbar", action="store_true")
         parser.add_argument("--M", type=int, default=32,
                             help="number of hidden states")
+        parser.add_argument("--map", action="store_true", dest="map_path",
+                            help="also store the MAP (Viterbi) state path "
+                                 "per contig as '<path>_map'")
+        parser.add_argument("--intervals", type=lambda s: [
+                                float(x) for x in s.split(",")
+                            ], default=None, metavar="q1,q2,...",
+                            help="store posterior TMRCA quantiles (e.g. "
+                                 "0.025,0.5,0.975) per row as "
+                                 "'<path>_quantiles' (coalescent units)")
         parser.add_argument("model", metavar="model.final.json")
         parser.add_argument("output", metavar="arrays.npz")
         parser.add_argument("data", nargs="+", metavar="data.smc[.gz]")
@@ -94,6 +125,14 @@ class Posterior(command.Command, command.ConsoleCommand):
         kwargs.update(
             {path + "_sites": o[:, 0] for path, o in zip(args.data, all_obs)}
         )
+        if args.map_path:
+            for path, p in zip(args.data, im.map_paths()):
+                kwargs[path + "_map"] = p[: len(kwargs[path + "_sites"])]
+        if args.intervals:
+            for path, g in zip(args.data, gammas):
+                kwargs[path + "_quantiles"] = posterior_quantiles(
+                    g, hidden_states, args.intervals
+                )
         np.savez_compressed(
             args.output, hidden_states=hidden_states, **kwargs
         )

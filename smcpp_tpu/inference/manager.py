@@ -130,6 +130,25 @@ class _EagerQOps:
             + jnp.sum(jnp.asarray(xisum) * jnp.log(T))
         )
 
+    def map_paths(self):
+        """Row-resolution MAP (Viterbi) hidden-state paths, one (L,) int32
+        array per contig (ops/hmm.py:viterbi_path).  Runs float64 on the
+        CPU backend — Viterbi scores reach ~-1e5, past float32 ranking
+        resolution."""
+        pi, T, E = self.tensors()
+        fn = jax.jit(
+            partial(hmm_mod.viterbi_path, nbits=self._nbits),
+            device=self._cpu,
+        )
+        f64 = jnp.float64
+        args = (jnp.asarray(pi, f64), jnp.asarray(T, f64),
+                jnp.asarray(E, f64))
+        return [
+            np.asarray(fn(*args, np.asarray(self._spans[i]),
+                          np.asarray(self._keys[i])))
+            for i in range(self._spans.shape[0])
+        ]
+
 
 class OnePopInferenceManager(_EagerQOps):
     def __init__(

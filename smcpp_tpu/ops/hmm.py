@@ -206,3 +206,68 @@ def posterior_gammas(pi, T, E, spans, keys, nbits, chunk):
         return jnp.sum(ll)
 
     return jax.grad(ll_fn)(jnp.zeros((L, Mdim), dtype=T.dtype))
+
+
+# ---------------------------------------------------------------------------
+# MAP (Viterbi) decoding — max-plus analogue of the forward kernel.
+# ---------------------------------------------------------------------------
+
+def _mp_matmul(A, B):
+    "Max-plus matrix product: C[i,j] = max_k A[i,k] + B[k,j]."
+    return jnp.max(A[:, :, None] + B[None, :, :], axis=1)
+
+
+def _mp_power(A, s, nbits):
+    "Max-plus s-th power by binary exponentiation (s == 0 -> identity)."
+    M = A.shape[0]
+    ident = jnp.where(jnp.eye(M, dtype=bool), 0.0, -jnp.inf).astype(A.dtype)
+    result, base = ident, A
+
+    def body(carry, b):
+        result, base = carry
+        take = (s >> b) & 1
+        result = jnp.where(take > 0, _mp_matmul(result, base), result)
+        return (result, _mp_matmul(base, base)), None
+
+    (result, _), _ = jax.lax.scan(
+        body, (result, base), jnp.arange(nbits, dtype=s.dtype)
+    )
+    return result
+
+
+def viterbi_path(pi, T, E, spans, keys, nbits):
+    """Row-resolution MAP (Viterbi) hidden-state path for one contig.
+
+    Max-plus counterpart of the forward kernel: a compressed row of span s
+    and key k contributes the max-plus s-th power of
+    A[i, j] = log T[i, j] + log E[k, j], and back-pointers are recorded at
+    row boundaries, so the returned path is the MAP state at the END of
+    each row (within-row switches are collapsed into the row operator —
+    the same resolution as the posterior gammas).  Runs in the setup
+    precision (float64 on CPU): Viterbi scores reach ~-1e5 and float32
+    would misrank close paths.  The reference has no MAP decoder; this
+    extends its posterior command (smcpp/commands/posterior.py).
+
+    Returns (L,) int32; padding rows (span 0) repeat the previous state.
+    """
+    logT = jnp.log(T)
+    logE = jnp.log(E)
+
+    def step(V, row):
+        s, k = row
+        A = logT + logE[k][None, :]  # A[i, j] = log T[i,j] + log E[k, j]
+        W = _mp_power(A, s, nbits)
+        scores = V[:, None] + W  # (i, j)
+        V2 = jnp.max(scores, axis=0)
+        bp = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        return V2, bp
+
+    V, bps = jax.lax.scan(step, jnp.log(pi), (spans, keys))
+    last = jnp.argmax(V).astype(jnp.int32)
+
+    def back(state, bp):
+        prev = bp[state]
+        return prev, state
+
+    _, path = jax.lax.scan(back, last, bps, reverse=True)
+    return path

@@ -69,16 +69,28 @@ def test_posterior(workdir):
     main([
         "posterior", "--M", "16",
         "--heatmap", str(workdir / "heat.png"),
+        "--map", "--intervals", "0.025,0.5,0.975",
         str(workdir / "out" / "model.final.json"),
         str(workdir / "post.npz"),
         str(workdir / "chr1.smc.gz"),
     ])
     z = np.load(workdir / "post.npz")
     assert "hidden_states" in z
-    g = z[str(workdir / "chr1.smc.gz")]
+    path = str(workdir / "chr1.smc.gz")
+    g = z[path]
     assert g.shape[0] == 16
     np.testing.assert_allclose(g.sum(axis=0), 1.0, atol=1e-4)
     assert os.path.exists(workdir / "heat.png")
+    # MAP path: one valid state index per row
+    mp = z[path + "_map"]
+    assert mp.shape == (g.shape[1],)
+    assert mp.min() >= 0 and mp.max() < 16
+    # credible intervals: quantiles ordered and within the state grid
+    qt = z[path + "_quantiles"]
+    assert qt.shape == (3, g.shape[1])
+    assert np.all(np.diff(qt, axis=0) >= -1e-12)
+    hs = z["hidden_states"]
+    assert qt.min() >= hs[0] and qt.max() <= hs[-2]
 
 
 def test_chunk(workdir):

@@ -147,3 +147,41 @@ def test_float32_accuracy(problem):
         )
     )
     assert np.isclose(ll32, ll64, rtol=1e-4)
+
+
+def test_viterbi_brute_force():
+    """MAP path vs exhaustive base-resolution enumeration on a tiny chain.
+
+    The base-level MAP path's states at row boundaries must match
+    viterbi_path's row-resolution output."""
+    import itertools
+
+    rng = np.random.RandomState(3)
+    M, n_keys = 3, 3
+    pi = rng.dirichlet(np.ones(M))
+    T = rng.dirichlet(np.ones(M), size=M)
+    E = rng.uniform(0.1, 1.0, (n_keys, M))
+    spans = np.array([2, 1, 3, 1, 2], np.int32)
+    keys = np.array([0, 1, 2, 0, 1], np.int32)
+    base_keys = np.repeat(keys, spans)
+    B = base_keys.size
+    ends = np.cumsum(spans) - 1  # base index at each row end
+
+    best_lp, best_path = -np.inf, None
+    for path in itertools.product(range(M), repeat=B + 1):
+        lp = np.log(pi[path[0]])
+        for b in range(B):
+            lp += np.log(T[path[b], path[b + 1]])
+            lp += np.log(E[base_keys[b], path[b + 1]])
+        if lp > best_lp:
+            best_lp, best_path = lp, path
+    expect = np.array(best_path[1:])[ends]
+
+    nbits = int(spans.max()).bit_length()
+    got = np.asarray(
+        hmm.viterbi_path(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(spans), jnp.asarray(keys), nbits,
+        )
+    )
+    np.testing.assert_array_equal(got, expect)
