@@ -95,11 +95,13 @@ def vcf2smc(
     ]
     dist = dist[:npop]
 
-    # stream the VCF
+    # stream the VCF: the header (##contig length, #CHROM sample columns)
+    # always precedes the records, so after consuming it the records can be
+    # converted one at a time — nothing is accumulated in memory, and
+    # arbitrarily large VCFs convert in O(1) space.
     it = _iter_vcf(vcf_path, contig)
     contig_length = length
     samples = None
-    records = []
     for kind, payload, gts in it:
         if kind == "meta":
             if contig_length is None and payload.startswith("##contig"):
@@ -109,8 +111,9 @@ def vcf2smc(
                     contig_length = int(ln.group(1))
         elif kind == "samples":
             samples = payload
+            break
         else:
-            records.append((payload, gts))
+            raise RuntimeError("VCF record before the #CHROM header line")
     if contig_length is None:
         raise RuntimeError("Could not determine contig length; pass length=")
     if samples is None:
@@ -164,16 +167,17 @@ def vcf2smc(
             b = [0] * len(b)
         return [x for t in zip(a, b, nb) for x in t]
 
-    # biallelic SNPs only
-    snps = [
-        (payload, gts)
-        for payload, gts in records
-        if len(payload[1]) <= 2 and all(len(al) == 1 for al in payload[1])
-    ]
+    def snps():
+        "Remaining records of the open VCF stream, biallelic SNPs only."
+        for kind, payload, gts in it:
+            if kind != "rec":
+                continue
+            if len(payload[1]) <= 2 and all(len(al) == 1 for al in payload[1]):
+                yield payload, gts
 
     def interleaved():
         mi = iter(mask_iter)
-        si = iter(snps)
+        si = snps()
         cmask = next(mi, None)
         csnp = next(si, None)
         while cmask or csnp:
