@@ -114,3 +114,24 @@ def test_simulate_hmm_engine(workdir):
     ])
     c = load_contig(out)
     assert c.data[:, 0].sum() == 200000
+
+
+def test_posterior_quantiles_math():
+    "CDF inversion against hand-computed values on a tiny posterior."
+    from smcpp_tpu.commands.posterior import posterior_quantiles
+
+    hs = np.array([0.0, 1.0, 2.0, np.inf])
+    # column 0: uniform over first two states; column 1: all mass in state 1
+    gamma = np.array([[0.5, 0.0],
+                      [0.5, 1.0],
+                      [0.0, 0.0]])
+    q = posterior_quantiles(gamma, hs, [0.25, 0.5, 0.75])
+    # column 0: q25 -> 0.5 into state 0; q50 -> state boundary 1.0;
+    # q75 -> half into state 1 => 1.5
+    np.testing.assert_allclose(q[:, 0], [0.5, 1.0, 1.5])
+    # column 1: all quantiles interpolate inside state 1 = [1, 2)
+    np.testing.assert_allclose(q[:, 1], [1.25, 1.5, 1.75])
+    # terminal-interval mass reports the left edge
+    g2 = np.array([[0.0], [0.0], [1.0]])
+    q2 = posterior_quantiles(g2, hs, [0.5])
+    np.testing.assert_allclose(q2, [[2.0]])
