@@ -62,10 +62,11 @@ def main():
         ]
         total_bases = float(sum(d[:, 0].sum() for d in data))
         mesh = mesh_mod.make_mesh(devices[:nd])
-        keys, valid, NS, C = mesh_mod.pack_windows_sharded(
-            data, key_id, nd, seg_target=2048
-        )
-        estep = mesh_mod.make_sharded_window_estep(mesh, NS, C)
+        from smcpp_tpu.ops import window_kernel as wk
+
+        keys, valid, soc = wk.pack_windows(data, key_id, seg_target=2048)
+        keys, valid = mesh_mod.pad_segments(keys, valid, nd)
+        estep = mesh_mod.make_sharded_window_estep(mesh, soc)
         sh = NamedSharding(mesh, P("data", None))
         kd = jax.device_put(jnp.asarray(keys), sh)
         vd = jax.device_put(jnp.asarray(valid), sh)

@@ -33,8 +33,16 @@ class Command:
             "--cores", type=int, default=None,
             help="number of worker threads for host-side preprocessing",
         )
+        parser.add_argument(
+            "--devices", type=check_positive, default=None, metavar="N",
+            help="cap the device mesh at N accelerator chips "
+                 "(default: all devices; the TPU analogue of the "
+                 "reference's --cores thread control)",
+        )
 
     def main(self, args):
+        if getattr(args, "devices", None):
+            os.environ["SMCPP_TPU_DEVICES"] = str(args.devices)
         np.random.seed(args.seed)
         level = [logging.INFO, logging.DEBUG][min(args.verbose, 1)]
         logging.basicConfig(

@@ -109,7 +109,12 @@ class Posterior(command.Command, command.ConsoleCommand):
         im.set_model(m)
         im.theta = j["theta"]
         im.rho = j["rho"]
-        im.alpha = j["alpha"]
+        if "alpha" not in j:
+            # old-schema model JSONs (e.g. the reference's bundled
+            # test/bugs/11/model.final.json) predate the alpha field; the
+            # reference crashes here (posterior.py j["alpha"]) — accept them
+            logger.warning("model JSON has no 'alpha' field; assuming 1")
+        im.alpha = j.get("alpha", 1)
         im.save_gamma = True
         im.E_step()
         gammas = []

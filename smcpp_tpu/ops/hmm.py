@@ -119,8 +119,13 @@ def _all_chunk_products(T, E, spans, keys, nbits, chunk):
     )
 
 
-def _scan_chunks(pi, Ms, logs):
-    "Batched scaled-forward scan over chunk products.  Returns (C,) loglik."
+def _scan_chunks(pi, Ms, logs, cvalid=None):
+    """Batched scaled-forward scan over chunk products.  Returns (C,) loglik.
+
+    ``cvalid`` (C,) bool masks out padding contigs (added when the contig
+    axis is padded to a mesh-size multiple): their log-likelihood — and
+    hence every gradient statistic — is exactly zero, so sharded and
+    single-device runs agree."""
     C, n_chunks, M, _ = Ms.shape
     Ms_t = jnp.moveaxis(Ms, 1, 0)  # (n_chunks, C, M, M)
     logs_t = jnp.moveaxis(logs, 1, 0)
@@ -130,10 +135,10 @@ def _scan_chunks(pi, Ms, logs):
         Mc, lg = x
         v = jnp.einsum("cij,cj->ci", Mc, alpha)
         c = jnp.sum(v, axis=1)
-        return (
-            v / c[:, None],
-            ll + (jnp.log(c) + lg).astype(jnp.float64),
-        ), None
+        dll = (jnp.log(c) + lg).astype(jnp.float64)
+        if cvalid is not None:
+            dll = jnp.where(cvalid, dll, 0.0)
+        return (v / c[:, None], ll + dll), None
 
     alpha0 = jnp.broadcast_to(pi.astype(Ms.dtype), (C, M))
     init = (alpha0, jnp.zeros(C, jnp.float64))
@@ -144,7 +149,8 @@ def _scan_chunks(pi, Ms, logs):
 def loglik(pi, T, E, spans, keys, nbits, chunk):
     "Total log-likelihood over a batch of contigs.  spans/keys: (C, L)."
     Ms, logs = _all_chunk_products(T, E, spans, keys, nbits, chunk)
-    return jnp.sum(_scan_chunks(pi, Ms, logs))
+    cvalid = jnp.any(spans > 0, axis=1)
+    return jnp.sum(_scan_chunks(pi, Ms, logs, cvalid))
 
 
 def forward_loglik(pi, T, E, spans, keys, nbits, chunk):

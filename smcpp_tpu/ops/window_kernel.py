@@ -16,10 +16,11 @@ a short batched scan over segments per contig finishes the forward pass.
 Cost: 2 M^3 per window — the same order as the span-compressed kernel on
 typical data (which pays ~2 bit_length(max_span) M^3 per compressed row),
 but with ~50x better achieved FLOP/s.  Numerical control: every step floors
-at ~1e-35 (cf. the reference's per-step 1e-10 alpha floor, hmm.cpp:92-94)
-and every ``RESCALE_EVERY`` steps renormalizes each segment block, tracking
-log scales.  Gradients through the scan use a two-level remat (sqrt
-schedule), so backward memory is O(sqrt(L_seg) * S * M^2).
+at ~1e-35 and renormalizes each segment block to unit max, tracking log
+scales (cf. the reference's per-position normalization + 1e-10 alpha floor,
+hmm.cpp:86-94).  Gradients through the scan use a two-level remat
+(``RESCALE_EVERY``-sized checkpointed blocks), so backward memory is
+O(L_seg/RESCALE_EVERY * S * M^2) + recompute.
 
 E-step statistics use the same gradient identities as ops/hmm.py.
 """
@@ -50,7 +51,20 @@ ONEHOT_MAX_KEYS = 384
 def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
     """Advance ``X`` (M, S, M) through a block of window steps.
 
-    keys_blk, valid_blk: (B, S).  Rescales once at the end of the block.
+    keys_blk, valid_blk: (B, S).  Numerical control in two layers (together
+    matching the reference's per-position alpha normalization + floor,
+    hmm.cpp:86-94):
+
+    * per step, each emission row is normalized to unit max and its log
+      absorbed into ``logs`` — an (S, M)-sized op, M-times cheaper than
+      rescaling the (M, S, M) state.  This removes the emission-driven
+      within-block decay: un-normalized rare-key runs (e entries ~1e-8)
+      decayed products to the 1e-35 floor, which both biased the forward
+      likelihood (the floor bound as an absolute clamp) and overflowed the
+      f32 backward cotangents into NaN statistics.
+    * per block, the (M, S, M) state is renormalized to unit max.  The
+      residual within-block decay is only transition mixing (bounded by the
+      floored T column masses), which f32 absorbs over a block.
 
     The emission lookup uses a one-hot matmul instead of a gather when the
     key table is small: the gather's transpose is a scatter-add, which is
@@ -61,8 +75,10 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
     n_keys = E.shape[0]
     use_onehot = n_keys <= ONEHOT_MAX_KEYS
     key_iota = jnp.arange(n_keys, dtype=jnp.int32)
+    tiny = jnp.finfo(X.dtype).tiny
 
-    def step(X, kv):
+    def step(carry, kv):
+        X, logs = carry
         k, v = kv  # (S,) int, (S,) bool
         with jax.default_matmul_precision(MATMUL_PRECISION):
             if use_onehot:
@@ -71,14 +87,16 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
             else:
                 e = E[k]  # (S, M)
             Y = jnp.einsum("ij,jsk->isk", Tt, X)
+        em = jnp.maximum(jnp.max(e, axis=1), tiny)  # (S,)
+        e = e / em[:, None]
         Y = Y * e.T[:, :, None]
         Y = jnp.maximum(Y, FLOOR)
         X = jnp.where(v[None, :, None], Y, X)
-        return X, None
+        logs = logs + jnp.where(v, jnp.log(em), 0.0)
+        return (X, logs), None
 
-    X, _ = jax.lax.scan(step, X, (keys_blk, valid_blk))
-    m = jnp.max(jnp.abs(X), axis=(0, 2))  # (S,)
-    m = jnp.maximum(m, jnp.finfo(X.dtype).tiny)
+    (X, logs), _ = jax.lax.scan(step, (X, logs), (keys_blk, valid_blk))
+    m = jnp.maximum(jnp.max(jnp.abs(X), axis=(0, 2)), tiny)  # (S,)
     return X / m[None, :, None], logs + jnp.log(m)
 
 
@@ -121,34 +139,36 @@ def segment_operators(T, E, keys, valid):
     return ops, logs
 
 
-def loglik_windows(pi, T, E, keys, valid, seg_of_contig):
-    """Log-likelihood over contigs from window-level segments.
+def contig_scan(pi, ops, logs, seg_of_contig, seg_has):
+    """Per-contig scaled-forward scan over precomputed segment operators.
 
-    keys/valid: (S, L).  seg_of_contig: static (C, max_nseg) int array of
-    segment ids in genomic order per contig, padded with -1.
-    """
-    ops, logs = segment_operators(T, E, keys, valid)
+    ops (S, M, M), logs (S,), seg_has (S,) bool = segment has any valid
+    window.  seg_of_contig: static (C, max_nseg) int array of segment ids in
+    genomic order per contig, padded with -1.  Returns summed loglik."""
     C, NS = seg_of_contig.shape
-    Mdim = T.shape[0]
+    Mdim = ops.shape[-1]
     pad = np.asarray(seg_of_contig) < 0  # static
     idx = np.maximum(np.asarray(seg_of_contig), 0)
-    eye = jnp.eye(Mdim, dtype=T.dtype)
+    eye = jnp.eye(Mdim, dtype=ops.dtype)
     ops_c = jnp.where(
         pad[:, :, None, None], eye[None, None], ops[idx]
     )  # (C, NS, M, M)
     logs_c = jnp.where(pad, 0.0, logs[idx])
+    # mask padding contigs (no valid window anywhere) so their ll — and
+    # hence every gradient statistic — is exactly zero under contig-axis
+    # padding for mesh sharding
+    cvalid = jnp.any(jnp.where(pad, False, seg_has[idx]), axis=1)  # (C,)
 
     def step(carry, x):
         alpha, ll = carry
         Mc, lg = x
         v = jnp.einsum("cij,cj->ci", Mc, alpha)
         c = jnp.sum(v, axis=1)
-        return (
-            v / c[:, None],
-            ll + (jnp.log(c) + lg).astype(jnp.float64),
-        ), None
+        dll = (jnp.log(c) + lg).astype(jnp.float64)
+        dll = jnp.where(cvalid, dll, 0.0)
+        return (v / c[:, None], ll + dll), None
 
-    alpha0 = jnp.broadcast_to(pi.astype(T.dtype), (C, Mdim))
+    alpha0 = jnp.broadcast_to(pi.astype(ops.dtype), (C, Mdim))
     init = (alpha0, jnp.zeros(C, jnp.float64))
     (_, ll), _ = jax.lax.scan(
         step,
@@ -156,6 +176,16 @@ def loglik_windows(pi, T, E, keys, valid, seg_of_contig):
         (jnp.moveaxis(ops_c, 1, 0), jnp.moveaxis(logs_c, 1, 0)),
     )
     return jnp.sum(ll)
+
+
+def loglik_windows(pi, T, E, keys, valid, seg_of_contig):
+    """Log-likelihood over contigs from window-level segments.
+
+    keys/valid: (S, L).  seg_of_contig: static (C, max_nseg) int array of
+    segment ids in genomic order per contig, padded with -1.
+    """
+    ops, logs = segment_operators(T, E, keys, valid)
+    return contig_scan(pi, ops, logs, seg_of_contig, jnp.any(valid, axis=1))
 
 
 def estep_windows(pi, T, E, keys, valid, seg_of_contig):

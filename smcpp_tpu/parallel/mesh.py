@@ -15,10 +15,30 @@ initialization: jax.jit global arrays span hosts transparently.
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import hmm
+
+
+def compute_devices(max_devices=None):
+    """Devices for the E-step, in production-default order.
+
+    All devices of the default backend, optionally capped by ``max_devices``
+    or the ``SMCPP_TPU_DEVICES`` environment variable.  This is the TPU
+    equivalent of the reference's ``--cores`` -> ``omp_set_num_threads``
+    control (smcpp/_smcpp.pyx:61-64)."""
+    import os
+
+    devs = jax.devices()
+    cap = max_devices
+    if cap is None:
+        env = os.environ.get("SMCPP_TPU_DEVICES")
+        cap = int(env) if env else None
+    if cap is not None:
+        devs = devs[: max(1, cap)]
+    return list(devs)
 
 
 def make_mesh(devices=None):
@@ -71,76 +91,68 @@ def make_sharded_loglik(mesh, nbits, chunk):
 
 
 # ---------------------------------------------------------------------------
-# Window-kernel data parallelism
+# Window-kernel parallelism: shard the SEGMENT axis.
+#
+# The expensive part of the window kernel is the per-segment transfer
+# operators (ops/window_kernel.py:segment_operators) — embarrassingly
+# parallel over equal-length segments, so sharding that axis is perfectly
+# load-balanced AND gives sequence parallelism: a single long contig is cut
+# into segments that spread over every chip (the reference's HMM recurrence
+# is strictly sequential, src/hmm.cpp:61-96).  The tiny per-contig scan over
+# (S, M, M) operators runs replicated after an all-gather (ops are ~KB-scale;
+# the gather is the transpose of a reduce_scatter in the backward pass).
 # ---------------------------------------------------------------------------
 
-def pack_windows_sharded(data_list, key_id, n_devices, seg_target=4096,
-                         min_seg_len=64, max_seg_len=16384):
-    """Window packing with a contig-aligned segment layout for sharding.
+def pad_segments(keys, valid, n_devices):
+    """Pad the segment axis to a multiple of the mesh size.
 
-    Every contig gets the same number NS of segment slots (padded with
-    invalid segments), and contigs are padded to a multiple of the mesh
-    size, so slicing the segment axis by contig blocks keeps each contig
-    entirely on one device.  Returns (keys (C*NS, L), valid, NS, C).
+    Padding segments are all-invalid: they produce identity operators with
+    zero log-scale and are never referenced by seg_of_contig."""
+    S = keys.shape[0]
+    pad = (-S) % n_devices
+    if pad:
+        keys = np.concatenate(
+            [keys, np.zeros((pad, keys.shape[1]), keys.dtype)]
+        )
+        valid = np.concatenate(
+            [valid, np.zeros((pad, valid.shape[1]), valid.dtype)]
+        )
+    return keys, valid
+
+
+def make_sharded_window_estep(mesh, seg_of_contig):
+    """Segment-sharded window-kernel E-step.
+
+    f(pi, T, E, keys, valid) -> (ll, gamma0, xisum, gamma_sums) with
+    keys/valid (S, L) sharded on the segment axis (S a multiple of the mesh
+    size; see pad_segments).  Gradients of the replicated (pi, T, E) through
+    the shard_map transpose come out psum'd across the mesh automatically.
     """
-    from ..ops.window_kernel import RESCALE_EVERY
-
-    win = []
-    for d in data_list:
-        s = d[:, 0].astype(np.int64)
-        k = np.array([key_id[tuple(r)] for r in d[:, 1:]], dtype=np.int32)
-        win.append(np.repeat(k, s))
-    C = len(win)
-    pad_C = (-C) % n_devices
-    win += [np.zeros(0, np.int32)] * pad_C
-    C += pad_C
-    W = max(1, sum(len(w) for w in win))
-    L = int(2 ** np.ceil(np.log2(max(W / seg_target, 1.0))))
-    L = int(np.clip(L, min_seg_len, max_seg_len))
-    L = -(-L // RESCALE_EVERY) * RESCALE_EVERY
-    NS = max(1, max(-(-len(w) // L) for w in win))
-    keys = np.zeros((C * NS, L), dtype=np.int32)
-    valid = np.zeros((C * NS, L), dtype=bool)
-    for c, w in enumerate(win):
-        for j in range(NS):
-            seg = w[j * L : (j + 1) * L]
-            if len(seg):
-                keys[c * NS + j, : len(seg)] = seg
-                valid[c * NS + j, : len(seg)] = True
-    return keys, valid, NS, C
-
-
-def make_sharded_window_estep(mesh, NS, C):
-    """Contig-data-parallel window-kernel E-step via shard_map.
-
-    Each device runs the window kernel on its local contigs' segments; the
-    summed log-likelihood is psum'd, so grads of the replicated (pi, T, E)
-    come out all-reduced automatically.
-    """
-    from jax.sharding import PartitionSpec as P
     from ..ops import window_kernel as wk
 
-    n_dev = mesh.devices.size
-    C_local = C // n_dev
-    soc_local = np.arange(C_local * NS).reshape(C_local, NS)
-
-    def local_ll(pi, T, E, keys, valid):
-        ll = wk.loglik_windows(pi, T, E, keys, valid, soc_local)
-        return jax.lax.psum(ll, "data")
-
-    smapped = jax.shard_map(
-        local_ll,
+    op_local = jax.shard_map(
+        wk.segment_operators,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("data", None), P("data", None)),
-        out_specs=P(),
+        in_specs=(P(), P(), P("data", None), P("data", None)),
+        out_specs=(P("data", None, None), P("data")),
         check_vma=False,
     )
 
-    def estep(pi, T, E, keys, valid):
-        def total(pi, T, E):
-            return smapped(pi, T, E, keys, valid)
+    def total_ll(pi, T, E, keys, valid, seg_has):
+        ops, logs = op_local(T, E, keys, valid)
+        return wk.contig_scan(pi, ops, logs, seg_of_contig, seg_has)
 
-        ll, grads = jax.value_and_grad(total, argnums=(0, 1, 2))(pi, T, E)
+    def estep(pi, T, E, keys, valid):
+        seg_has = jnp.any(valid, axis=1)
+        ll, grads = jax.value_and_grad(total_ll, argnums=(0, 1, 2))(
+            pi, T, E, keys, valid, seg_has
+        )
         return ll, pi * grads[0], T * grads[1], E * grads[2]
 
-    return jax.jit(estep)
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data", None))
+    return jax.jit(
+        estep,
+        in_shardings=(repl, repl, repl, data_sh, data_sh),
+        out_shardings=(repl, repl, repl, repl),
+    )

@@ -1,0 +1,82 @@
+"""Cross-implementation tests on the reference's bundled real-data artifacts
+(/root/reference/test/bugs/11: a fitted model.final.json + chr11 SMC data +
+test.sh, runnable without building the reference).
+
+The bundled out.npz was produced by reference version 1.6.2 (2017); its
+hidden states differ by up to 4% from what the *current* reference's
+balance_hidden_states produces on the same model, and its gammas are
+uncorrelated with a decode under current semantics — so a numeric comparison
+against it is meaningless (measured round 2: posterior-mean-TMRCA
+correlation ~0.07 even when decoding with the golden hidden states).  What
+we pin instead: (a) the old-schema JSON loads (the reference crashes with
+KeyError 'alpha' here, commands/posterior.py), (b) the full posterior CLI
+runs end-to-end on the real chr11 data as in test.sh:2, and (c) our own
+decode values as regression goldens."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+BUG = "/root/reference/test/bugs/11/"
+MODEL = BUG + "model.final.json"
+DATA = BUG + "chr11_5subjs.smc.gz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(MODEL), reason="reference artifacts unavailable"
+)
+
+
+def test_old_schema_model_loads():
+    "Old (2017) model JSONs: pid/N0/class/knots/s/spline_class/y, no alpha."
+    from smcpp_tpu.models import model_from_dict
+
+    j = json.load(open(MODEL))
+    assert "alpha" not in j  # the schema quirk under test
+    m = model_from_dict(j["model"])
+    assert m.N0 == 10000.0
+    sv = np.asarray(m.stepwise_values(), float)
+    assert np.all(np.isfinite(sv)) and np.all(sv > 0)
+
+
+@pytest.fixture(scope="module")
+def decoded(tmp_path_factory):
+    "Full posterior CLI on the real chr11 artifact (test.sh line 2)."
+    from smcpp_tpu.commands.posterior import Posterior
+
+    out = str(tmp_path_factory.mktemp("post") / "out.npz")
+    p = argparse.ArgumentParser()
+    cmd = Posterior(p)
+    args = p.parse_args([MODEL, out, DATA])
+    cmd.main(args)
+    return np.load(out)
+
+
+def test_posterior_cli_runs_on_artifact(decoded):
+    g = decoded[DATA]
+    hs = decoded["hidden_states"]
+    sites = decoded[DATA + "_sites"]
+    assert g.shape == (32, 810)
+    assert hs.shape == (33,) and hs[0] == 0 and np.isinf(hs[-1])
+    assert sites.shape == (810,)
+    np.testing.assert_allclose(g.sum(axis=0), 1.0, atol=1e-6)
+    assert np.all(g >= 0)
+
+
+def test_posterior_artifact_regression_pins(decoded):
+    "Self-goldens: decode values pinned from round 2 (f32 kernel, CPU)."
+    g = decoded[DATA]
+    hs = decoded["hidden_states"]
+    np.testing.assert_allclose(
+        hs[[1, 16, 31]], [0.05253573, 0.59632867, 4.37013039], rtol=1e-6
+    )
+    mid = 0.5 * (hs[:-1] + np.where(np.isinf(hs[1:]), hs[:-1], hs[1:]))
+    pm = mid @ g
+    np.testing.assert_allclose(
+        pm[[0, 100, 400, -1]],
+        [0.55105, 4.175034, 1.341144, 0.385544],
+        rtol=1e-3,
+    )
+    assert np.isclose(pm.mean(), 1.211245, rtol=1e-3)

@@ -79,6 +79,56 @@ def test_estep_stats_match():
     np.testing.assert_allclose(np.asarray(gs_w), np.asarray(gs_s), rtol=1e-7)
 
 
+def test_rare_key_dense_f32_backward():
+    """Regression (round 2): rare-key-dense streams drove within-block
+    products to the 1e-35 floor, biasing the forward ll AND overflowing the
+    f32 backward into NaN statistics.  Per-step rescaling fixes both: the
+    f32 E-step must be finite and match the f64 E-step."""
+    rng = np.random.RandomState(7)
+    M, nk = 8, 15
+    pi = rng.dirichlet(np.ones(M))
+    T = rng.dirichlet(np.ones(M), size=M)
+    # emission table with genuinely rare keys (down to 1e-8, like high-b
+    # CSFS entries), drawn uniformly so rare keys cluster
+    E = 10.0 ** rng.uniform(-8, 0, (nk, M))
+    data = []
+    for _ in range(3):
+        rows = rng.randint(30, 70)
+        d = np.c_[rng.randint(1, 12, rows), rng.randint(0, nk, rows)]
+        data.append(d.astype(np.int64))
+    key_id = {(k,): k for k in range(nk)}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    outs = {}
+    for dt in (jnp.float32, jnp.float64):
+        out = wk.estep_windows(
+            jnp.asarray(pi, dt), jnp.asarray(T, dt), jnp.asarray(E, dt),
+            jnp.asarray(keys), jnp.asarray(valid), soc,
+        )
+        for o in out[1:]:
+            assert np.all(np.isfinite(np.asarray(o))), dt
+        outs[dt] = out
+    assert np.isclose(
+        float(outs[jnp.float32][0]), float(outs[jnp.float64][0]), rtol=1e-3
+    )
+    # f64 window kernel must agree with the f64 span kernel (which rescales
+    # at every squaring) — guards against floor-induced forward bias
+    C = len(data)
+    Lmax = -(-max(len(d) for d in data) // 8) * 8
+    spans = np.zeros((C, Lmax), np.int32)
+    ks = np.zeros((C, Lmax), np.int32)
+    for i, d in enumerate(data):
+        spans[i, : len(d)] = d[:, 0]
+        ks[i, : len(d)] = d[:, 1]
+    nbits = int(spans.max()).bit_length()
+    ll_s = float(
+        hmm.loglik(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(spans), jnp.asarray(ks), nbits, 8,
+        )
+    )
+    assert np.isclose(float(outs[jnp.float64][0]), ll_s, rtol=1e-9)
+
+
 def test_f32_consistency():
     pi, T, E, data = make_problem(seed=2, C=2, rows=200)
     key_id = {(k,): k for k in range(E.shape[0])}
