@@ -190,14 +190,6 @@ class OnePopInferenceManager(_EagerQOps):
 
             self._mesh = mesh_mod.make_mesh(self._devices)
 
-        if self.n > 60:
-            logger.warning(
-                "n=%d undistinguished lineages: the float64 CSFS spectral "
-                "contraction loses accuracy beyond n~60 (the reference's "
-                "compensated summation shares the same error floor; the "
-                "long-double NumPy path reaches n~70); consider a smaller "
-                "panel (see docs/ROADMAP.md).", self.n,
-            )
         all_keys = np.unique(
             np.concatenate([d[:, 1:] for d in data_list], axis=0), axis=0
         )

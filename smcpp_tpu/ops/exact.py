@@ -118,14 +118,52 @@ def moran_eigensystem(n: int) -> MoranEigensystem:
     )
 
 
-@lru_cache(maxsize=4)
-def moran_eigensystem_hp(n: int) -> MoranEigensystem:
-    "Long-double conversion of the exact eigensystem (large-n CSFS path)."
-    U, Uinv, D = _moran_eigensystem_exact(n)
+@lru_cache(maxsize=None)
+def stable_eigensystem(n: int) -> MoranEigensystem:
+    """Numerically stable eigensystem of the irreducible Moran block.
+
+    The (0,2)-modified Moran generator has block structure Q = [[0, 0],
+    [c, T]]: state 0 is absorbing (sup[0] = a*(N-0) = 0), and the block T
+    over states 1..n is a birth-death tridiagonal with positive sub/sup
+    bands.  Such a T is symmetrizable — S = D T D^{-1} is symmetric for
+    the diagonal D with (d_{i+1}/d_i)^2 = sup_i / sub_{i+1} — so its
+    eigenbasis can be computed as an ORTHONORMAL basis V of S via LAPACK
+    (scipy.linalg.eigh_tridiagonal) and mapped back: right eigenvectors
+    U = D^{-1} V, left eigenvectors Uinv = V^T D, automatically
+    biorthonormal (Uinv @ U = I).  D is polynomially bounded in n
+    (measured cond ~1.7e4 at n=200), so unlike the exact rational
+    normalization — whose Uinv grows to ~1e44 by n=150 and destroys the
+    f64 CSFS contraction past n~60, the same wall the reference fights
+    with sorted compensated summation (conditioned_sfs.cpp:41-83) — both
+    factors here stay O(n): the spectral CSFS contraction is accurate to
+    ~1e-13 at n=200 (tests/test_csfs.py::test_csfs_large_n_envelope).
+
+    Returns U, Uinv of shape (n, n) over states 1..n and eigenvalues
+    D[k-3] = -(k(k-1)/2 - 1) for k = 3..n+2 (the lambda = 0 eigenpair of
+    the absorbing state never contributes to columns >= 1 and is dropped).
+    """
+    import scipy.linalg
+
+    if n == 0:
+        z = np.zeros((0, 0))
+        return MoranEigensystem(U=z, Uinv=z, D=np.zeros(0))
+    sub, dia, sup = _modified_moran_rate_matrix(n, 0, 2)
+    d = np.array([float(dia[i]) for i in range(1, n + 1)])
+    e_sup = np.array([float(sup[i]) for i in range(1, n)])  # T[i, i+1]
+    e_sub = np.array([float(sub[i]) for i in range(2, n + 1)])  # T[i+1, i]
+    logr = 0.5 * (np.log(e_sup) - np.log(e_sub))
+    logd = np.concatenate([[0.0], np.cumsum(logr)])
+    logd -= logd.mean()  # scale-free: center to keep delta near 1
+    delta = np.exp(logd)
+    if n == 1:
+        w, V = d.copy(), np.ones((1, 1))
+    else:
+        w, V = scipy.linalg.eigh_tridiagonal(d, np.sqrt(e_sup * e_sub))
+    # ascending w -> reorder to k = 3..n+2 (lambda descending: -2, -5, ...)
+    w = w[::-1]
+    V = V[:, ::-1]
     return MoranEigensystem(
-        U=_frac_array(U, np.longdouble),
-        Uinv=_frac_array(Uinv, np.longdouble),
-        D=D.astype(np.longdouble),
+        U=V / delta[:, None], Uinv=(V * delta[:, None]).T, D=w
     )
 
 
@@ -179,38 +217,27 @@ def _below_coeffs(n):
     return mlast  # (n+1) x (n+1) Fractions
 
 
-def _frac_to_longdouble(x: Fraction) -> np.longdouble:
-    """Fraction -> 80-bit long double, correct to ~1 ulp for any magnitude.
-
-    float(Fraction) would round through float64 (53 bits); here the 64-bit
-    mantissa is extracted with integer shifts so the extended precision is
-    real.  Used by the high-precision (xp=np, dtype=longdouble) CSFS path."""
-    if x == 0:
-        return np.longdouble(0.0)
-    num, den = x.numerator, x.denominator
-    sign = 1.0 if (num < 0) == (den < 0) else -1.0
-    num, den = abs(num), abs(den)
-    e = num.bit_length() - den.bit_length()
-    s = 64 - e
-    t = (num << s) // den if s >= 0 else num // (den << -s)
-    return np.longdouble(sign) * np.ldexp(np.longdouble(t), e - 64)
-
-
-def _frac_array(rows, dtype):
-    if dtype == np.longdouble:
-        return np.array(
-            [[_frac_to_longdouble(x) for x in row] for row in rows],
-            dtype=np.longdouble,
-        )
-    return np.array([[float(x) for x in row] for row in rows])
+def _frac_array(rows, dtype=np.float64):
+    return np.array([[float(x) for x in row] for row in rows], dtype=dtype)
 
 
 @dataclass(frozen=True)
 class MatrixCache:
-    X0: np.ndarray  # (n, n+1)
-    X2: np.ndarray  # (n, n+1)
+    """Constant matrices linking the tjj integrals to the CSFS, in the
+    stable (symmetrized) eigenbasis of the irreducible Moran block.
+
+    The CSFS "above" contraction is X @ C @ Uinv per hidden interval,
+    where C carries the model-dependent integrals over eigen index
+    k = 3..n+2; "below" is tjj_below @ M0 / M1.  All factors here are
+    O(n)-bounded (the cancellations are resolved exactly at build time),
+    so the f64 contraction keeps ~machine precision at any n."""
+
+    X0: np.ndarray  # (n, n)   rows j = 2..n+1, cols eigen k = 3..n+2
+    X2: np.ndarray  # (n, n)
     M0: np.ndarray  # (n+1, n)
     M1: np.ndarray  # (n+1, n+1)
+    Uinv0: np.ndarray  # (n, n) eigen k -> output states 1..n
+    Uinv2: np.ndarray  # (n, n) eigen k -> output states b = 0..n-1
 
 
 _DISK_CACHE_DIR = os.environ.get(
@@ -218,95 +245,88 @@ _DISK_CACHE_DIR = os.environ.get(
 )
 
 
+def _exact_below_matrices(n):
+    """M0 (n+1, n) and M1 (n+1, n+1) with the triple product carried in
+    exact rational arithmetic.
+
+    The below-coefficients ``bc`` grow to ~1e28 by n=100 with alternating
+    signs, but the PRODUCTS bc @ diag @ P are O(1)-bounded — the reference's
+    float64 product (matrix_cache.cpp:258-276) therefore carries absolute
+    error ~|bc|max * eps (~1e13 at n=100).  The diagonal factors are exact
+    integers: lsp * (1 - 2/lsp) = lsp - 2 and lsp * (2/lsp) = 2."""
+    bc = _below_coeffs(n)
+    P_undist = [
+        [
+            _pnkb_undist(n, k, b) if (k >= 1 and 1 <= b <= n - k + 1) else F0
+            for b in range(1, n + 1)
+        ]
+        for k in range(n + 1)
+    ]
+    P_dist = [
+        [
+            _pnkb_dist(n, k, b) if 1 <= b <= n - k + 1 else F0
+            for b in range(1, n + 2)
+        ]
+        for k in range(n + 1)
+    ]
+    M0 = np.zeros((n + 1, n))
+    M1 = np.zeros((n + 1, n + 1))
+    for i in range(n + 1):
+        row = bc[i]
+        sc0 = [row[k] * k for k in range(n + 1)]  # lsp[k] - 2 == k
+        sc1 = [row[k] * 2 for k in range(n + 1)]
+        for b in range(n):
+            M0[i, b] = float(
+                sum(sc0[k] * P_undist[k][b] for k in range(n + 1) if P_undist[k][b])
+            )
+        for b in range(n + 1):
+            M1[i, b] = float(
+                sum(sc1[k] * P_dist[k][b] for k in range(n + 1) if P_dist[k][b])
+            )
+    return M0, M1
+
+
 @lru_cache(maxsize=None)
 def cached_matrices(n: int) -> MatrixCache:
-    """The four dense matrices linking tjj integrals to the CSFS.
+    """The dense constant matrices linking tjj integrals to the CSFS.
 
-    Reference: matrix_cache.cpp:212-282.  Computed exactly, float64 at the
-    end, persisted to an .npz keyed by n.
-    """
-    path = os.path.join(_DISK_CACHE_DIR, f"matrices_{n}.npz")
+    Reference: matrix_cache.cpp:212-282 — but assembled so that every
+    factor is O(n)-bounded: the below products exactly in rationals, the
+    above weights against the symmetrized (orthonormal-up-to-D) eigenbasis
+    instead of the explosively-normalized exact one.  Persisted to an .npz
+    keyed by n."""
+    path = os.path.join(_DISK_CACHE_DIR, f"matrices2_{n}.npz")
     if os.path.exists(path):
         z = np.load(path)
-        return MatrixCache(X0=z["X0"], X2=z["X2"], M0=z["M0"], M1=z["M1"])
+        return MatrixCache(**{k: z[k] for k in z.files})
 
-    mei = moran_eigensystem(n)
-    # exact U needed: recompute the rational U (moran_eigensystem returns
-    # float); for matrix products here float64 U is fine because the exact
-    # cancellations happen inside the rational Wnbj/coeff computations.
+    mse = stable_eigensystem(n)
     D_sub_above = np.arange(1, n + 1) / (n + 1.0)  # (n,)
-    D_sub_below = 2.0 / np.arange(2, n + 3)  # (n+1,)
 
     Wnbj = np.zeros((n, n))
     for b in range(1, n + 1):
         for j in range(2, n + 2):
             Wnbj[b - 1, j - 2] = float(_Wnbj(n + 1, b, j))
 
-    P_dist = np.zeros((n + 1, n + 1))
-    for k in range(0, n + 1):
-        for b in range(1, n - k + 2):
-            P_dist[k, b - 1] = float(_pnkb_dist(n, k, b))
+    # X0: above weights for row a'=0 — states 1..n carry (1 - b/(n+1));
+    # X2: row a'=2 is the mirror model, i.e. the same T eigenbasis read at
+    # flipped states with weight b/(n+1) (the reference expresses this via
+    # U.reverse(), matrix_cache.cpp:262).
+    X0 = Wnbj.T @ ((1.0 - D_sub_above)[:, None] * mse.U)
+    X2 = Wnbj.T @ (D_sub_above[:, None] * mse.U[::-1, :])
 
-    P_undist = np.zeros((n + 1, n))
-    for k in range(1, n + 1):
-        for b in range(1, n - k + 2):
-            P_undist[k, b - 1] = float(_pnkb_undist(n, k, b))
+    M0, M1 = _exact_below_matrices(n)
 
-    lsp = np.arange(2, n + 3, dtype=np.float64)  # (n+1,)
-    bc = np.array([[float(x) for x in row] for row in _below_coeffs(n)])
-
-    U = mei.U
-    X0 = Wnbj.T @ np.diag(1.0 - D_sub_above) @ U[1:, :]  # bottomRows(n)
-    # U.reverse() flips both axes; topRows(n) of that = flipped, first n rows
-    U_rev = U[::-1, ::-1]
-    X2 = Wnbj.T @ np.diag(D_sub_above) @ U_rev[:n, :]
-    M0 = bc @ np.diag(lsp * (1.0 - D_sub_below)) @ P_undist
-    M1 = bc @ np.diag(lsp * D_sub_below) @ P_dist
-
-    mc = MatrixCache(X0=X0, X2=X2, M0=M0, M1=M1)
+    mc = MatrixCache(
+        X0=X0, X2=X2, M0=M0, M1=M1, Uinv0=mse.Uinv, Uinv2=mse.Uinv[:, ::-1]
+    )
     try:
         os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
         tmp = path + f".tmp.{os.getpid()}"
-        np.savez(tmp, X0=X0, X2=X2, M0=M0, M1=M1)
+        np.savez(
+            tmp, X0=X0, X2=X2, M0=M0, M1=M1, Uinv0=mc.Uinv0, Uinv2=mc.Uinv2
+        )
         os.replace(tmp, path)
     except OSError:
         pass
     return mc
-
-
-@lru_cache(maxsize=4)
-def cached_matrices_hp(n: int) -> MatrixCache:
-    """Long-double MatrixCache: the rational weights AND the assembling
-    matrix products are carried in 80-bit precision, which is what extends
-    the CSFS accuracy envelope past n ~ 60 (the f64 X0/X2 already carry the
-    rounding of a strongly-cancelling Wnbj.T @ diag @ U product)."""
-    ld = np.longdouble
-    mei = moran_eigensystem_hp(n)
-    D_sub_above = np.arange(1, n + 1, dtype=ld) / ld(n + 1)
-    D_sub_below = ld(2.0) / np.arange(2, n + 3, dtype=ld)
-
-    Wnbj = np.zeros((n, n), dtype=ld)
-    for b in range(1, n + 1):
-        for j in range(2, n + 2):
-            Wnbj[b - 1, j - 2] = _frac_to_longdouble(_Wnbj(n + 1, b, j))
-
-    P_dist = np.zeros((n + 1, n + 1), dtype=ld)
-    for k in range(0, n + 1):
-        for b in range(1, n - k + 2):
-            P_dist[k, b - 1] = _frac_to_longdouble(_pnkb_dist(n, k, b))
-
-    P_undist = np.zeros((n + 1, n), dtype=ld)
-    for k in range(1, n + 1):
-        for b in range(1, n - k + 2):
-            P_undist[k, b - 1] = _frac_to_longdouble(_pnkb_undist(n, k, b))
-
-    lsp = np.arange(2, n + 3, dtype=ld)
-    bc = _frac_array(_below_coeffs(n), ld)
-
-    U = mei.U
-    X0 = Wnbj.T @ np.diag(ld(1.0) - D_sub_above) @ U[1:, :]
-    U_rev = U[::-1, ::-1]
-    X2 = Wnbj.T @ np.diag(D_sub_above) @ U_rev[:n, :]
-    M0 = bc @ np.diag(lsp * (ld(1.0) - D_sub_below)) @ P_undist
-    M1 = bc @ np.diag(lsp * D_sub_below) @ P_dist
-    return MatrixCache(X0=X0, X2=X2, M0=M0, M1=M1)

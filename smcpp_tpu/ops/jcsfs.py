@@ -55,16 +55,9 @@ def truncate_params(a, s, trunc):
 
 
 def csfs_raw(a, s, hidden_states, n):
-    """One-pop CSFS for raw (a, s) params: (M, 3, n+1) NumPy array.
-
-    Above n = 55 the computation switches to the 80-bit long-double path,
-    which extends the spectral-contraction accuracy envelope to n ~ 70
-    (tests/test_csfs.py::test_csfs_large_n_envelope)."""
+    """One-pop CSFS for raw (a, s) params: (M, 3, n+1) NumPy array."""
     g = grid_mod.make_time_grid(s, np.asarray(hidden_states, dtype=np.float64))
-    dtype = np.longdouble if n > 55 else None
-    out = csfs_mod.conditioned_sfs(
-        np.asarray(a, dtype=np.float64), g, n, xp=np, dtype=dtype
-    )
+    out = csfs_mod.conditioned_sfs(np.asarray(a, dtype=np.float64), g, n, xp=np)
     return np.asarray(out, dtype=np.float64)
 
 

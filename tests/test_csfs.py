@@ -113,37 +113,43 @@ def test_incorporate_theta_distribution():
     np.testing.assert_allclose(em.sum(axis=(1, 2)), 1.0, atol=1e-6)
 
 
-def test_csfs_large_n_envelope():
-    """Accuracy envelope of the f64 CSFS "above" contraction.
+def test_stable_eigensystem_matches_exact():
+    "Stable T-block eigensystem: biorthonormal, reconstructs T, matches D."
+    for n in [1, 2, 5, 11, 40]:
+        mse = exact.stable_eigensystem(n)
+        T = moran_dense(n, 0, 2)[1:, 1:]
+        np.testing.assert_allclose(mse.Uinv @ mse.U, np.eye(n), atol=1e-10)
+        np.testing.assert_allclose(
+            mse.U @ np.diag(mse.D) @ mse.Uinv, T, atol=1e-8
+        )
+        ks = np.arange(3, n + 3)
+        np.testing.assert_allclose(
+            mse.D, -(ks * (ks - 1) / 2.0 - 1.0), rtol=1e-12
+        )
 
-    The spectral contraction sum_i X0[i,k] C[h,k,i] cancels by up to
-    ~1e15 at mid eigen-indices for large n, and the result is then
-    amplified by Uinv columns of comparable magnitude.  The error floor
-    is set by the f64 error of the C integrals themselves, so no
-    summation trick can push much past n ~ 60 (the reference's sorted
-    doubly-compensated summation, conditioned_sfs.cpp:55-80, has the
-    same input-error floor and degrades in the same regime; measured
-    here: n=50 -> 7e-5, n=55 -> 3e-3, n=60 -> 0.16, n>=65 -> garbage).
-    This test pins the supported boundary; the stable reformulation
-    (tridiagonal resolvent solves against the Moran generator instead
-    of the spectral shortcut) is docs/ROADMAP.md item 6."""
+
+def test_csfs_large_n_envelope():
+    """Large-n accuracy of the f64 CSFS in the stable basis.
+
+    The reference's pipeline passes through the exactly-normalized Moran
+    eigenbasis, whose Uinv grows to ~1e44 by n=150; its sorted
+    doubly-compensated summation (conditioned_sfs.cpp:55-80) cannot
+    recover the amplified input rounding, so it degrades past n ~ 60
+    (measured on the old identical formulation here: n=50 -> 7e-5,
+    n=55 -> 3e-3, n=60 -> 0.16, n>=65 garbage).  The symmetrized
+    eigenbasis + exact below-products keep every constant factor
+    O(n)-bounded, so plain f64 holds ~1e-12 through n = 150 — covering
+    the reference's "hundreds of unphased whole genomes" paper scale
+    (commands/cite.py:8-9) without extended precision."""
     s = np.array([1.0, 1.0, 2.0])
     a = np.ones(3)
     g = gridmod.make_time_grid(s, np.array([0.0, np.inf]))
-    for n, tol in [(50, 1e-3), (55, 2e-2)]:
+    for n in [60, 100, 150]:
         out = np.asarray(csfs.conditioned_sfs(a, g, n, xp=np))[0]
         undist = undistinguished_sfs(out)
         np.testing.assert_allclose(undist[1:], 2.0 / np.arange(1, n + 2),
-                                   rtol=tol)
-    # the 80-bit long-double path buys ~3 digits: n=50 -> 9e-8,
-    # n=65 -> 7e-3 (f64 is garbage there), breaking down by n ~ 75
-    for n, tol in [(50, 1e-6), (65, 2e-2)]:
-        out = np.asarray(
-            csfs.conditioned_sfs(a, g, n, xp=np, dtype=np.longdouble)
-        )[0].astype(np.float64)
-        undist = undistinguished_sfs(out)
-        np.testing.assert_allclose(undist[1:], 2.0 / np.arange(1, n + 2),
-                                   rtol=tol)
+                                   rtol=1e-10)
+        assert out.min() >= 0.0
 
 
 def test_csfs_gradient_fd():
