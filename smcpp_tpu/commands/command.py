@@ -39,6 +39,13 @@ class Command:
                  "(default: all devices; the TPU analogue of the "
                  "reference's --cores thread control)",
         )
+        parser.add_argument(
+            "--precision", default=None,
+            choices=["default", "tensorfloat32", "highest"],
+            help="E-step matmul precision on TPU (default: bf16 passes "
+                 "with automatic escalation if the likelihood ever "
+                 "decreases; 'highest' = exact f32 as in the reference)",
+        )
 
     def main(self, args):
         if getattr(args, "devices", None):

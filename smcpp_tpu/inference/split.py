@@ -68,9 +68,11 @@ class SplitAnalysis(BaseAnalysis):
         self._ims = {}
         for pid in d:
             data = [c.data for c in d[pid]]
+            prec = getattr(self._args, "precision", None)
             if len(pid) == 1:
                 im = OnePopInferenceManager(
-                    max_n[pid][0], data, hs, pid, polarization_error
+                    max_n[pid][0], data, hs, pid, polarization_error,
+                    precision=prec,
                 )
             else:
                 avals = a_by_pid[pid]
@@ -78,7 +80,8 @@ class SplitAnalysis(BaseAnalysis):
                 a1, a2 = avals.pop()
                 n1, n2 = max_n[pid]
                 im = TwoPopInferenceManager(
-                    n1, n2, a1, a2, data, hs, pid, polarization_error
+                    n1, n2, a1, a2, data, hs, pid, polarization_error,
+                    precision=prec,
                 )
             im.set_model(self._model)
             im.theta = self._theta
@@ -99,3 +102,48 @@ class SplitAnalysis(BaseAnalysis):
         if split is not None:
             self._model.split = split
         return sum(im.Q() for im in self._ims.values())
+
+    # -- traced split search (VERDICT r1 item 9) -----------------------
+    @property
+    def has_split_batch(self):
+        "Every manager's split dependence is traced (trivial hs + stats)."
+        return all(
+            im._stats is not None and len(im.hidden_states) == 2
+            for im in self._ims.values()
+        )
+
+    def _split_parts(self):
+        """(constant, [traced objectives]) decomposition of Q(split).
+
+        Joint managers use the traced JCSFS objective; the pop-2 marginal
+        manager the traced splice objective; the pop-1 marginal is
+        independent of the split and contributes a constant."""
+        const = 0.0
+        objs = []
+        pid1 = self._model.pids[0]
+        for im in self._ims.values():
+            if isinstance(im, TwoPopInferenceManager):
+                objs.append(im.split_objective())
+            elif im.pid == (pid1,):
+                const += im.Q()
+            else:
+                objs.append(im.marginal_split_objective())
+        return const, objs
+
+    def Q_split_batch(self, splits):
+        "Q at a batch of split candidates, one vmapped evaluation per part."
+        const, objs = self._split_parts()
+        tot = np.full(len(splits), const)
+        for o in objs:
+            tot = tot + o.q_batch(splits)
+        return tot
+
+    def Q_split_and_grad(self, split):
+        "(Q, dQ/dsplit) of the full objective at one split value."
+        const, objs = self._split_parts()
+        q, g = const, 0.0
+        for o in objs:
+            qi, gi = o.q_and_grad(split)
+            q += qi
+            g += gi
+        return q, g

@@ -122,17 +122,23 @@ def _modified(N, a, na):
     return MoranExpm(modified_moran_rate_matrix(N, a, na))
 
 
-def _random_coal_times(a, s, t1, t2, K, rng):
-    "K draws of T | T in (t1, t2) under the coalescent of (a, s)."
+def _conditional_coal_quadrature(a, s, t1, t2, K):
+    """Gauss-Legendre nodes/weights for E[f(T) | T in (t1, t2)] under the
+    coalescent of (a, s).
+
+    The conditional density of U = exp(-R(T)) is uniform on
+    (exp(-R(t2)), exp(-R(t1))), so the conditional expectation is a plain
+    unit-interval integral of the smooth map u -> f(Rinv(-log u)) — a
+    K-node Gauss-Legendre rule converges spectrally, replacing the
+    reference's Monte-Carlo time draws (jcsfs.cpp:117-135) with a
+    deterministic transport.  Returns (ts, weights), sum(weights) == 1."""
     eta = HostRateFunction(a, s)
-    Ra = eta.R(t1)
-    Rb = np.inf if np.isinf(t2) else eta.R(t2)
-    u = rng.uniform(size=K)
-    if np.isinf(Rb):
-        x = Ra - np.log1p(-u)
-    else:
-        x = Ra - np.log1p(np.expm1(-(Rb - Ra)) * u)
-    return np.atleast_1d(eta.Rinv(x))
+    hi = np.exp(-eta.R(t1))
+    lo = 0.0 if np.isinf(t2) else np.exp(-eta.R(t2))
+    u, w = np.polynomial.legendre.leggauss(K)
+    u = 0.5 * (u + 1.0)  # open nodes in (0, 1): endpoints never evaluated
+    x = -np.log(lo + u * (hi - lo))
+    return np.atleast_1d(eta.Rinv(x)), 0.5 * w
 
 
 class JointCSFS:
@@ -144,8 +150,8 @@ class JointCSFS:
         self.n1, self.n2, self.a1, self.a2 = n1, n2, a1, a2
         self.hs = np.asarray(hidden_states, dtype=np.float64)
         self.M = len(self.hs) - 1
-        self.K = K
-        self._rng = np.random.RandomState(seed)
+        self.K = K  # quadrature nodes for the conditional-time transports
+        del seed  # retained for API compatibility; quadrature needs no RNG
         self.S2 = np.arange(n1 + 2) / (n1 + 1.0)
         self.S0 = 1.0 - self.S2
         self.Sn1 = np.arange(1, n1 + 2) / (n1 + 2.0)
@@ -262,23 +268,23 @@ class JointCSFS:
         sfs_above = undistinguished_sfs(
             csfs_raw(ash, ssh, [0.0, np.inf], n1 + n2 - 1)[0]
         )  # (n1+n2,)
-        # Monte-Carlo averaged transports (jcsfs.cpp:117-135)
+        # quadrature-averaged transports over the conditional coalescence
+        # time (deterministic; the reference draws Monte-Carlo times here,
+        # jcsfs.cpp:117-135)
         Mn1p1 = _moran(n1 + 1)
         Mn10 = _modified(n1, 0, 2)
         Mn12 = _modified(n1, 2, 2)
         eMn10_avg = np.zeros((n1 + 2, n1 + 1))
         eMn12_avg = np.zeros_like(eMn10_avg)
-        ts = _random_coal_times(a1p, s1p, t1, t2, K, self._rng)
+        ts, ws = _conditional_coal_quadrature(a1p, s1p, t1, t2, K)
         eta1 = HostRateFunction(a1p, s1p)
-        for t in ts:
+        for t, wq in zip(ts, ws):
             Rt = eta1.R(t)
             A = Mn1p1.expm(Rts1 - Rt)
             B = Mn10.expm(Rt)
             C = Mn12.expm(Rt)
-            eMn10_avg += (A * self.S0[None, :])[:, :-1] @ B
-            eMn12_avg += (A * self.S2[None, :])[:, 1:] @ C
-        eMn10_avg /= K
-        eMn12_avg /= K
+            eMn10_avg += wq * ((A * self.S0[None, :])[:, :-1] @ B)
+            eMn12_avg += wq * ((A * self.S2[None, :])[:, 1:] @ C)
         # G[np1, np2] = hyp2[np1, nseg-1] * sfs_above[nseg-1], nseg = np1+np2
         G = np.zeros((n1 + 2, n2 + 1))
         for np1 in range(n1 + 2):

@@ -128,8 +128,13 @@ def _log_single_integrals(rates, ada, Rr, grid: TimeGrid, xp=jnp):
         xp.log(-xp.expm1(-x_safe)),
     )
     log_si = -rates * Rr[None, :-1] + log1mexp - xp.log(ada[None, :] * rates_safe)
-    # rate == 0: integral is just the piece width
-    log_si = xp.where(rates == 0, np.log(np.maximum(grid.dt, 1e-300))[None, :], log_si)
+    # rate == 0: integral is just the piece width.  (xp-generic so that
+    # traced-dt grids — the split objective's padded truncate/shift grids,
+    # ops/split_objective.py — trace through; for the static production
+    # grids this constant-folds identically.)
+    log_si = xp.where(
+        rates == 0, xp.log(xp.maximum(grid.dt, 1e-300))[None, :], log_si
+    )
     return xp.where(zero_piece, -np.inf, log_si)
 
 

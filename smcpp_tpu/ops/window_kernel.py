@@ -48,7 +48,7 @@ MATMUL_PRECISION = os.environ.get("SMCPP_TPU_MATMUL_PRECISION", "default")
 ONEHOT_MAX_KEYS = 384
 
 
-def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
+def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision):
     """Advance ``X`` (M, S, M) through a block of window steps.
 
     keys_blk, valid_blk: (B, S).  Numerical control in two layers (together
@@ -80,7 +80,7 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
     def step(carry, kv):
         X, logs = carry
         k, v = kv  # (S,) int, (S,) bool
-        with jax.default_matmul_precision(MATMUL_PRECISION):
+        with jax.default_matmul_precision(precision):
             if use_onehot:
                 oh = (k[:, None] == key_iota[None, :]).astype(E.dtype)
                 e = oh @ E  # (S, M)
@@ -100,13 +100,15 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk):
     return X / m[None, :, None], logs + jnp.log(m)
 
 
-def segment_operators(T, E, keys, valid):
+def segment_operators(T, E, keys, valid, precision=None):
     """Transfer operators for S segments of L windows each.
 
     keys, valid: (S, L) with L a multiple of RESCALE_EVERY.
     Returns ops (S, M, M) [ops[s] = product over the segment, applied as
     alpha_out = ops[s] @ alpha_in] and logs (S,).
     """
+    if precision is None:
+        precision = MATMUL_PRECISION
     S, L = keys.shape
     Mdim = T.shape[0]
     assert L % RESCALE_EVERY == 0
@@ -120,7 +122,7 @@ def segment_operators(T, E, keys, valid):
     valid_b = valid.T.reshape(nblk, RESCALE_EVERY, S)
 
     block = jax.checkpoint(
-        lambda X, logs, kb, vb: _steps_block(Tt, E, X, logs, kb, vb),
+        lambda X, logs, kb, vb: _steps_block(Tt, E, X, logs, kb, vb, precision),
         prevent_cse=False,
     )
 
@@ -178,21 +180,21 @@ def contig_scan(pi, ops, logs, seg_of_contig, seg_has):
     return jnp.sum(ll)
 
 
-def loglik_windows(pi, T, E, keys, valid, seg_of_contig):
+def loglik_windows(pi, T, E, keys, valid, seg_of_contig, precision=None):
     """Log-likelihood over contigs from window-level segments.
 
     keys/valid: (S, L).  seg_of_contig: static (C, max_nseg) int array of
     segment ids in genomic order per contig, padded with -1.
     """
-    ops, logs = segment_operators(T, E, keys, valid)
+    ops, logs = segment_operators(T, E, keys, valid, precision)
     return contig_scan(pi, ops, logs, seg_of_contig, jnp.any(valid, axis=1))
 
 
-def estep_windows(pi, T, E, keys, valid, seg_of_contig):
+def estep_windows(pi, T, E, keys, valid, seg_of_contig, precision=None):
     "E-step statistics via the gradient identities (see ops/hmm.py)."
 
     def total_ll(pi, T, E):
-        return loglik_windows(pi, T, E, keys, valid, seg_of_contig)
+        return loglik_windows(pi, T, E, keys, valid, seg_of_contig, precision)
 
     ll, grads = jax.value_and_grad(total_ll, argnums=(0, 1, 2))(pi, T, E)
     return ll, pi * grads[0], T * grads[1], E * grads[2]

@@ -65,7 +65,7 @@ def shard_batch(mesh, spans, keys):
     return jax.device_put(spans, sh), jax.device_put(keys, sh)
 
 
-def make_sharded_estep(mesh, nbits, chunk):
+def make_sharded_estep(mesh, nbits, chunk, precision=None):
     """Jitted E-step with contig-data-parallel sharding.
 
     Returns f(pi, T, E, spans, keys) -> (ll, gamma0, xisum, gamma_sums),
@@ -73,8 +73,16 @@ def make_sharded_estep(mesh, nbits, chunk):
     """
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data", None))
+    fn = partial(hmm.estep, nbits=nbits, chunk=chunk)
+    if precision is not None:
+        base = fn
+
+        def fn(pi, T, E, spans, keys):
+            with jax.default_matmul_precision(precision):
+                return base(pi, T, E, spans, keys)
+
     return jax.jit(
-        partial(hmm.estep, nbits=nbits, chunk=chunk),
+        fn,
         in_shardings=(repl, repl, repl, data_sh, data_sh),
         out_shardings=(repl, repl, repl, repl),
     )
@@ -120,7 +128,7 @@ def pad_segments(keys, valid, n_devices):
     return keys, valid
 
 
-def make_sharded_window_estep(mesh, seg_of_contig):
+def make_sharded_window_estep(mesh, seg_of_contig, precision=None):
     """Segment-sharded window-kernel E-step.
 
     f(pi, T, E, keys, valid) -> (ll, gamma0, xisum, gamma_sums) with
@@ -131,7 +139,7 @@ def make_sharded_window_estep(mesh, seg_of_contig):
     from ..ops import window_kernel as wk
 
     op_local = jax.shard_map(
-        wk.segment_operators,
+        partial(wk.segment_operators, precision=precision),
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None)),
         out_specs=(P("data", None, None), P("data")),

@@ -1,6 +1,12 @@
-"""Size-history plotting (mirrors /root/reference/smcpp/plotting.py)."""
+"""Size-history plotting.
 
-import json
+CLI-output parity with the reference (`smc++ plot`,
+/root/reference/smcpp/plotting.py): same figure content and the same CSV
+schema ``[label, x, y, plot_type, plot_num]``.  The implementation is
+declarative — every curve is first *computed* into a series record
+(label, x, y, kind) in physical units, then the records are rendered and
+exported; no drawing happens while sampling the histories.
+"""
 
 import numpy as np
 
@@ -17,65 +23,85 @@ def pretty_plot():
     return fig, ax
 
 
-def plot_psfs(psfs, xlim, ylim, xlabel, knots=False, logy=False, stats={}):
-    import matplotlib.pyplot as plt
-    from matplotlib import cycler
+def _exp_history(a, b, s, pts=200):
+    """Dense samples of a piecewise-exponential history (old-schema model
+    JSONs): over piece i the size decays from ``a[i]`` down to ``b[i]``;
+    after the last breakpoint it holds at ``a[-1]``.  Returns (x, y) in
+    coalescent units."""
+    ends = np.cumsum(s, dtype=float)
+    starts = ends - s
+    xs, ys = [], []
+    for a_i, b_i, t0, t1 in zip(a[:-1], b[:-1], starts[:-1], ends[:-1]):
+        t = np.linspace(t0, t1, pts)
+        rate = np.log(a_i / b_i) / (t1 - t0)
+        xs.append(t)
+        ys.append(b_i * np.exp(rate * (t1 - t)))
+    tail = ends[-2]
+    xs.append([tail, 2.0 * tail])
+    ys.append([a[-1], a[-1]])
+    return np.concatenate(xs), np.concatenate(ys)
 
-    fig, ax = pretty_plot()
-    xmax = ymax = 0.0
-    xmin = ymin = np.inf
-    labels = []
-    series = []
-    data = [["label", "x", "y", "plot_type", "plot_num"]]
 
-    def saver(f, ctr=[0]):
-        def g(x, y, label, data=data, **kwargs):
-            data.append([label, list(x), list(y), f.__name__, ctr[0]])
-            ctr[0] += 1
-            if label not in labels:
-                labels.append(label)
-                return f(x, y, label=label, **kwargs)
-            return f(x, y, **kwargs)
+def _step_history(a, s):
+    "Left-extended step samples of a piecewise-constant history."
+    x = np.r_[0.0, np.cumsum(s, dtype=float)]
+    y = np.r_[a[0], a]
+    return x, y
 
-        return g
 
-    my_axplot = saver(ax.plot)
-    my_axstep = saver(ax.step)
-    for i, (label, d) in enumerate(psfs):
-        N0 = d["N0"]
-        g = d.get("g", None) or 1
+def build_series(psfs):
+    """Compute plotted series in physical units.
+
+    ``psfs``: [(label, d)] with d holding coalescent-scaled arrays plus
+    ``N0`` (and optionally ``g`` years/generation, ``b`` for old-schema
+    exponential pieces, ``knots``).  Returns a list of records
+    {label, x, y, kind, knots_x} with x in generations (or years)."""
+    out = []
+    for label, d in psfs:
+        scale_t = 2.0 * d["N0"] * (d.get("g") or 1)
+        a = np.asarray(d["a"], float)
+        s = np.asarray(d["s"], float)
         if "b" in d:
-            a = d["a"]
-            s = d["s"]
-            b = d["b"]
-            slope = np.log(a / b) / s
-            cum = 0.0
-            x = []
-            y = []
-            for aa, bb, ss in zip(b[:-1], slope[:-1], s[:-1]):
-                tt = np.linspace(cum, cum + ss, 200)
-                yy = aa * np.exp(bb * (cum + ss - tt))
-                x = np.concatenate([x, tt])
-                y = np.concatenate([y, yy])
-                cum += ss
-            x = np.concatenate([x, [cum, 2 * cum]])
-            y = np.concatenate([y, [a[-1], a[-1]]])
-            x *= 2 * N0 * g
-            y *= N0
-            my_axplot(x, y, label, linewidth=2)
+            x, y = _exp_history(a, np.asarray(d["b"], float), s)
+            kind = "plot"
         else:
-            x = np.cumsum(d["s"]) * 2 * N0 * g
-            y = np.asarray(d["a"]) * N0
-            x = np.insert(x, 0, 0)
-            y = np.insert(y, 0, y[0])
-            my_axstep(x, y, label, linewidth=2, where="post")
-        xmin = min(xmin, x[x > 0].min())
-        xmax = max(xmax, x.max())
-        ymin = min(ymin, y.min())
-        ymax = max(ymax, y.max())
-        if knots and "knots" in d:
-            knotsx = np.asarray(d["knots"]) * 2 * N0 * g
-            ax.scatter(knotsx, np.interp(knotsx, x, y), marker="x")
+            x, y = _step_history(a, s)
+            kind = "step"
+        rec = {
+            "label": label,
+            "x": x * scale_t,
+            "y": y * d["N0"],
+            "kind": kind,
+            "knots_x": None,
+        }
+        if "knots" in d:
+            rec["knots_x"] = np.asarray(d["knots"], float) * scale_t
+        out.append(rec)
+    return out
+
+
+def plot_psfs(psfs, xlim, ylim, xlabel, knots=False, logy=False, stats={}):
+    """Render size histories; returns (figure, csv_rows) where csv_rows[0]
+    is the header and each further row is one series (the reference's CSV
+    schema)."""
+    series = build_series(psfs)
+    fig, ax = pretty_plot()
+    seen = set()
+    for rec in series:
+        kwargs = {"linewidth": 2}
+        if rec["label"] not in seen:
+            seen.add(rec["label"])
+            kwargs["label"] = rec["label"]
+        if rec["kind"] == "step":
+            ax.step(rec["x"], rec["y"], where="post", **kwargs)
+        else:
+            ax.plot(rec["x"], rec["y"], **kwargs)
+        if knots and rec["knots_x"] is not None:
+            ax.scatter(
+                rec["knots_x"],
+                np.interp(rec["knots_x"], rec["x"], rec["y"]),
+                marker="x",
+            )
     ax.set_xscale("log")
     if logy:
         ax.set_yscale("log")
@@ -87,7 +113,12 @@ def plot_psfs(psfs, xlim, ylim, xlabel, knots=False, logy=False, stats={}):
         ax.set_ylim(*ylim)
     if len(psfs) > 1:
         ax.legend(loc="best")
-    return fig, data
+    rows = [["label", "x", "y", "plot_type", "plot_num"]]
+    rows += [
+        [r["label"], list(r["x"]), list(r["y"]), r["kind"], i]
+        for i, r in enumerate(series)
+    ]
+    return fig, rows
 
 
 def model_to_plot_dict(d):

@@ -57,6 +57,10 @@ def test_split_recovery(tmp_path):
     sa = SplitAnalysis(files, args)
     sa.run(1)
     got = sa.model.split
-    # recovered split within a factor of 2 of truth (loose: M=1 SFS-only
-    # search, 6 Mb of data) and clearly away from the search bounds
-    assert 0.5 * true_split < got < 2.0 * true_split, got
+    # +-25% (VERDICT r1 item 9): the deterministic quadrature JCSFS + the
+    # traced-grid batched search (ops/split_objective.py) recover the split
+    # to ~3% on this 6 Mb dataset (probed 0.388 vs 0.4); the tolerance
+    # leaves room for estimator variance on other seeds.
+    assert 0.75 * true_split < got < 1.25 * true_split, got
+    # the search must have used the traced path
+    assert sa.has_split_batch
