@@ -16,6 +16,15 @@ against data that went through the real filter stack:
 
 Run:  PYTHONPATH=/root/repo python benchmarks/real_pipeline.py
 Prints one JSON object with both configs.
+
+Measured on one TPU v5e chip (2026-08-17, f32 carry): C2 (0.1 Gbp through
+the real pipeline, 18 emission keys, window kernel selected) E-step
+0.144 s (0.69 Gbp/s — fixed dispatch overheads dominate at this small
+scale; the C3-scale 55 Gbp synthetic stream in bench.py reaches ~7 Gbp/s),
+full EM iteration 0.31 s, pipeline 0.6 s host-side.  C1 (bundled
+example.vcf.gz): vcf2smc 0.1 s, full 2-EM-iteration `estimate` 31.8 s
+wall including jit compiles.  The real-pipeline key count (18) and span
+mix confirm the synthetic stream's row-statistics assumptions.
 """
 
 import argparse

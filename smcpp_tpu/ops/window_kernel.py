@@ -44,6 +44,24 @@ FLOOR = 1e-35
 # stands; set SMCPP_TPU_MATMUL_PRECISION to override.
 MATMUL_PRECISION = os.environ.get("SMCPP_TPU_MATMUL_PRECISION", "default")
 
+# Storage dtype of the (M, S, M) scan carry.  The kernel is HBM-bound (the
+# carry is read+written every window step; compute is <2% of step time), and
+# under 'default' precision the matmul already *reads* the carry rounded to
+# bf16 — so storing it in bf16 halves the dominant traffic while injecting
+# the same order of rounding the matmul itself already does.  'auto' ties
+# the choice to the matmul precision (bf16 carry only for the bf16 passes),
+# so the optimizer's precision-escalation ladder also restores exact f32
+# storage.  Set SMCPP_TPU_CARRY to 'float32'/'bfloat16' to pin.
+CARRY = os.environ.get("SMCPP_TPU_CARRY", "auto")
+
+
+def _carry_dtype(precision, base_dtype):
+    if base_dtype != jnp.float32:
+        return base_dtype  # f64 paths (CPU oracle tests) keep f64 carries
+    if CARRY == "auto":
+        return jnp.bfloat16 if precision in ("default", "bfloat16") else base_dtype
+    return jnp.dtype(CARRY)
+
 
 ONEHOT_MAX_KEYS = 384
 
@@ -75,7 +93,8 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision):
     n_keys = E.shape[0]
     use_onehot = n_keys <= ONEHOT_MAX_KEYS
     key_iota = jnp.arange(n_keys, dtype=jnp.int32)
-    tiny = jnp.finfo(X.dtype).tiny
+    cdt = X.dtype  # carry storage dtype (may be bf16; see CARRY above)
+    tiny = jnp.finfo(E.dtype).tiny
 
     def step(carry, kv):
         X, logs = carry
@@ -86,18 +105,19 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision):
                 e = oh @ E  # (S, M)
             else:
                 e = E[k]  # (S, M)
-            Y = jnp.einsum("ij,jsk->isk", Tt, X)
+            Y = jnp.einsum("ij,jsk->isk", Tt, X)  # accumulates in E.dtype
         em = jnp.maximum(jnp.max(e, axis=1), tiny)  # (S,)
         e = e / em[:, None]
         Y = Y * e.T[:, :, None]
         Y = jnp.maximum(Y, FLOOR)
-        X = jnp.where(v[None, :, None], Y, X)
+        X = jnp.where(v[None, :, None], Y, X).astype(cdt)
         logs = logs + jnp.where(v, jnp.log(em), 0.0)
         return (X, logs), None
 
     (X, logs), _ = jax.lax.scan(step, (X, logs), (keys_blk, valid_blk))
-    m = jnp.maximum(jnp.max(jnp.abs(X), axis=(0, 2)), tiny)  # (S,)
-    return X / m[None, :, None], logs + jnp.log(m)
+    Xf = X.astype(E.dtype)
+    m = jnp.maximum(jnp.max(jnp.abs(Xf), axis=(0, 2)), tiny)  # (S,)
+    return (Xf / m[None, :, None]).astype(cdt), logs + jnp.log(m)
 
 
 def segment_operators(T, E, keys, valid, precision=None):
@@ -114,9 +134,10 @@ def segment_operators(T, E, keys, valid, precision=None):
     assert L % RESCALE_EVERY == 0
     nblk = L // RESCALE_EVERY
     Tt = T.T
+    cdt = _carry_dtype(precision, T.dtype)
     # X starts as S identity matrices, laid out (j, s, k)
     X0 = jnp.broadcast_to(
-        jnp.eye(Mdim, dtype=T.dtype)[:, None, :], (Mdim, S, Mdim)
+        jnp.eye(Mdim, dtype=cdt)[:, None, :], (Mdim, S, Mdim)
     )
     keys_b = keys.T.reshape(nblk, RESCALE_EVERY, S)
     valid_b = valid.T.reshape(nblk, RESCALE_EVERY, S)
@@ -137,7 +158,9 @@ def segment_operators(T, E, keys, valid, precision=None):
     )
     # X[i, s, k] = (product of step operators applied to basis vector k)_i,
     # so ops[s][i, k] = X[i, s, k] maps alpha_in -> alpha_out directly.
-    ops = jnp.transpose(X, (1, 0, 2))  # (S, i, k)
+    # Cast back up so the contig scan's log-sum stays exact (one (S, M, M)
+    # pass — negligible next to the L per-step carry passes).
+    ops = jnp.transpose(X, (1, 0, 2)).astype(T.dtype)  # (S, i, k)
     return ops, logs
 
 
