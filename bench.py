@@ -3,10 +3,10 @@
 Human-scale configuration from BASELINE.md C3: n = 50 haplotypes, 22
 autosome-sized contigs (250 Mbp each, w = 100 bp windows -> 2.5e6 windows
 per contig), M = 16 hidden states — the reference's default `estimate`
-workload shape.  Measures the window-resolution E-step kernel
-(smcpp_tpu/ops/window_kernel.py) — the path the inference manager selects
-for this data shape — including the gradient pass that produces all E-step
-sufficient statistics.
+workload shape.  Measures the direct (AD-free) two-pass Baum-Welch window
+kernel (smcpp_tpu/ops/window_kernel.py:estep_direct) — the path the
+inference manager selects for this data shape — including all E-step
+sufficient statistics (pi-stat, xisum, per-key posterior masses).
 
 The synthetic observation stream matches the row statistics of real
 post-pipeline data (mostly short nonpolymorphic runs + dinucleotide windows,
@@ -100,7 +100,7 @@ def main():
     kj = jax.device_put(jnp.asarray(keys), dev)
     vj = jax.device_put(jnp.asarray(valid), dev)
 
-    estep = jax.jit(partial(wk.estep_windows, seg_of_contig=soc), device=dev)
+    estep = jax.jit(partial(wk.estep_direct, seg_of_contig=soc), device=dev)
     out = estep(*pj, kj, vj)  # compile + warmup
     jax.block_until_ready(out)
     assert np.isfinite(float(out[0]))

@@ -224,6 +224,225 @@ def estep_windows(pi, T, E, keys, valid, seg_of_contig, precision=None):
 
 
 # ---------------------------------------------------------------------------
+# Direct (AD-free) E-step: two-pass sequence-parallel Baum-Welch
+#
+# ``estep_windows`` obtains the statistics as gradients of the forward
+# log-likelihood — correct, but the generic scan backward carries (M, S, M)
+# cotangents and recomputes forward blocks under remat: measured 87% of
+# E-step wall time on v5e (forward 0.094 s vs full 0.74 s at the bench
+# config).  The statistics have a classical direct form (Baum-Welch xi/gamma
+# accumulation, reference src/hmm.cpp:97-153) that only needs (S, M)
+# alpha/beta state per lockstep segment:
+#
+#   pass 1   segment operators (unchanged) -> boundary alphas / betas per
+#            segment via tiny contig-level scans over the (S, M, M) ops;
+#   pass 2a  lockstep ascending alpha recursion, storing normalized
+#            per-window alphas (L, S, M) in the carry dtype;
+#   pass 2b  lockstep descending beta recursion reading the stored alphas,
+#            accumulating xisum (M, M) and per-key posterior mass
+#            (n_keys, M) in f64 scan carries via per-step matmuls;
+#   finally  the O(S + C) transitions that cross segment/contig boundaries,
+#            vectorized outside the scans.
+#
+# Per-window normalizers are local (Z = alpha . beta per window), so no
+# global likelihood constant is threaded through — scale factors cancel
+# exactly.  HBM traffic drops ~4x vs the AD backward; accumulation is f64
+# (better than the f32 cotangent accumulators of the AD path).
+# ---------------------------------------------------------------------------
+
+
+def contig_boundaries(pi, ops, logs, seg_of_contig, seg_has):
+    """Total loglik + per-segment boundary vectors from segment operators.
+
+    Forward direction mirrors ``contig_scan``; a reverse scan over the
+    transposed operators produces the backward vectors.  Returns
+    (ll, A_in (S, M), Q_end (S, M), cvalid (C,)) where A_in[s] is the
+    normalized forward vector at the START of segment s (pi for a contig's
+    first segment) and Q_end[s] the normalized backward vector at the END
+    of segment s (ones for a contig's last segment)."""
+    C, NS = seg_of_contig.shape
+    Mdim = ops.shape[-1]
+    S = ops.shape[0]
+    socn = np.asarray(seg_of_contig)
+    pad = socn < 0  # static
+    idx = np.maximum(socn, 0)
+    tiny = jnp.finfo(ops.dtype).tiny
+    eye = jnp.eye(Mdim, dtype=ops.dtype)
+    ops_c = jnp.where(pad[:, :, None, None], eye[None, None], ops[idx])
+    logs_c = jnp.where(pad, 0.0, logs[idx])
+    cvalid = jnp.any(jnp.where(pad, False, seg_has[idx]), axis=1)  # (C,)
+
+    def fstep(carry, x):
+        alpha, ll = carry
+        Mc, lg = x
+        v = jnp.einsum("cij,cj->ci", Mc, alpha)
+        c = jnp.sum(v, axis=1)
+        dll = (jnp.log(c) + lg).astype(jnp.float64)
+        dll = jnp.where(cvalid, dll, 0.0)
+        return (v / c[:, None], ll + dll), alpha
+
+    alpha0 = jnp.broadcast_to(pi.astype(ops.dtype), (C, Mdim))
+    ops_t = jnp.moveaxis(ops_c, 1, 0)  # (NS, C, M, M)
+    (_, llc), a_pre = jax.lax.scan(
+        fstep, (alpha0, jnp.zeros(C, jnp.float64)),
+        (ops_t, jnp.moveaxis(logs_c, 1, 0)),
+    )
+
+    def bstep(q, Mc):
+        qn = jnp.einsum("cij,ci->cj", Mc, q)
+        qn = qn / jnp.maximum(jnp.max(qn, axis=1, keepdims=True), tiny)
+        return qn, q
+
+    _, q_post = jax.lax.scan(
+        bstep, jnp.ones((C, Mdim), ops.dtype), ops_t, reverse=True
+    )
+    # a_pre[t, c] = forward vector BEFORE segment soc[c, t];
+    # q_post[t, c] = backward vector at the END of segment soc[c, t].
+    m = ~pad  # static (C, NS)
+    rows = socn[m]
+    A_in = jnp.zeros((S, Mdim), ops.dtype).at[rows].set(
+        jnp.moveaxis(a_pre, 0, 1)[m]
+    )
+    Q_end = jnp.zeros((S, Mdim), ops.dtype).at[rows].set(
+        jnp.moveaxis(q_post, 0, 1)[m]
+    )
+    return jnp.sum(llc), A_in, Q_end, cvalid
+
+
+def stats_pass(T, E, keys, valid, A_in, Q_end, precision=None,
+               axis_name=None):
+    """Lockstep alpha/beta sweeps accumulating within-segment statistics.
+
+    Returns (alpha_end (S, M), u_start (S, M), xo (M, M) f64,
+    gsum (n_keys, M) f64) where ``xo`` is the raw outer-product accumulator
+    (multiply elementwise by T to get the xisum contribution) and
+    ``u_start[s] = e_first ⊙ beta_first`` feeds the boundary transitions.
+    With ``axis_name``, xo/gsum are psum'd across that mesh axis (for
+    shard_map over the segment axis)."""
+    if precision is None:
+        precision = MATMUL_PRECISION
+    S, L = keys.shape
+    Mdim = T.shape[0]
+    n_keys = E.shape[0]
+    dt = E.dtype
+    cdt = _carry_dtype(precision, jnp.dtype(dt))
+    tiny = jnp.finfo(dt).tiny
+    use_onehot = n_keys <= ONEHOT_MAX_KEYS
+    key_iota = jnp.arange(n_keys, dtype=jnp.int32)
+    keysT = keys.T  # (L, S)
+    validT = valid.T
+    vnextT = jnp.concatenate(
+        [validT[1:], jnp.zeros((1, S), bool)], axis=0
+    )
+
+    def emis(k):
+        if use_onehot:
+            oh = (k[:, None] == key_iota[None, :]).astype(dt)
+            return oh, oh @ E
+        return None, E[k]
+
+    def asc(alpha, kv):
+        k, v = kv
+        with jax.default_matmul_precision(precision):
+            _, e = emis(k)
+            anew = e * (alpha @ T)
+        anew = anew / jnp.maximum(
+            jnp.max(anew, axis=1, keepdims=True), tiny
+        )
+        alpha = jnp.where(v[:, None], anew, alpha)
+        return alpha, alpha.astype(cdt)
+
+    alpha_end, alphas = jax.lax.scan(
+        asc, A_in.astype(dt), (keysT, validT)
+    )
+
+    def dsc(carry, xs):
+        q, u, xo, gsum = carry
+        a_l, k, v, vn = xs
+        a_l = a_l.astype(dt)
+        with jax.default_matmul_precision(precision):
+            oh, e = emis(k)
+            tv = u @ T.T  # tv[s, j] = sum_i T[j, i] u[s, i]
+        qun = jnp.where(vn[:, None], tv, q)
+        Z = jnp.maximum(jnp.sum(a_l * qun, axis=1), tiny)
+        gamma = (a_l * qun / Z[:, None]) * v[:, None]
+        ascale = (a_l / Z[:, None]) * (v & vn)[:, None]
+        with jax.default_matmul_precision(precision):
+            if use_onehot:
+                g_k = oh.T @ gamma  # (n_keys, M)
+            else:
+                g_k = jnp.zeros((n_keys, Mdim), dt).at[k].add(gamma)
+            xi_c = ascale.T @ u  # (M, M), T ⊙ applied at the end
+        gsum = gsum + g_k.astype(jnp.float64)
+        xo = xo + xi_c.astype(jnp.float64)
+        qn = qun / jnp.maximum(jnp.max(qun, axis=1, keepdims=True), tiny)
+        q = jnp.where(v[:, None], qn, q)
+        u = jnp.where(v[:, None], e * q, u)
+        return (q, u, xo, gsum), None
+
+    init = (
+        Q_end.astype(dt),
+        jnp.zeros((S, Mdim), dt),
+        jnp.zeros((Mdim, Mdim), jnp.float64),
+        jnp.zeros((n_keys, Mdim), jnp.float64),
+    )
+    (_, u_start, xo, gsum), _ = jax.lax.scan(
+        dsc, init, (alphas, keysT, validT, vnextT), reverse=True
+    )
+    if axis_name is not None:
+        xo = jax.lax.psum(xo, axis_name)
+        gsum = jax.lax.psum(gsum, axis_name)
+    return alpha_end, u_start, xo, gsum
+
+
+def boundary_stats(pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid):
+    """Transitions crossing segment boundaries + each contig's initial
+    transition out of pi.  Returns (xo with boundary outer products added,
+    pi_stat (M,))."""
+    socn = np.asarray(seg_of_contig)
+    dt = alpha_end.dtype
+    tiny = jnp.finfo(dt).tiny
+    a, b = socn[:, :-1], socn[:, 1:]
+    m = (a >= 0) & (b >= 0)  # static adjacency
+    if m.any():
+        ae = alpha_end[a[m]]
+        us = u_start[b[m]]
+        tv = us @ T.T
+        Z = jnp.maximum(jnp.sum(ae * tv, axis=1), tiny)
+        xo = xo + ((ae / Z[:, None]).T @ us).astype(xo.dtype)
+    first = socn[:, 0]
+    has_first = jnp.asarray(first >= 0)
+    uf = u_start[np.maximum(first, 0)]
+    tvc = uf @ T.T
+    piB = jnp.broadcast_to(pi.astype(dt), uf.shape)
+    Zc = jnp.maximum(jnp.sum(piB * tvc, axis=1), tiny)
+    w = (has_first & cvalid).astype(dt)[:, None]
+    scale = piB / Zc[:, None] * w
+    pi_stat = jnp.sum(scale * tvc, axis=0)
+    xo = xo + (scale.T @ uf).astype(xo.dtype)
+    return xo, pi_stat
+
+
+def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None):
+    """Direct Baum-Welch E-step: same contract as ``estep_windows``
+    (ll, pi-stat, xisum, gamma_sums), computed without autodiff."""
+    if precision is None:
+        precision = MATMUL_PRECISION
+    ops, logs = segment_operators(T, E, keys, valid, precision)
+    seg_has = jnp.any(valid, axis=1)
+    ll, A_in, Q_end, cvalid = contig_boundaries(
+        pi, ops, logs, seg_of_contig, seg_has
+    )
+    alpha_end, u_start, xo, gsum = stats_pass(
+        T, E, keys, valid, A_in, Q_end, precision
+    )
+    xo, pi_stat = boundary_stats(
+        pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid
+    )
+    return ll, pi_stat, xo * T.astype(xo.dtype), gsum
+
+
+# ---------------------------------------------------------------------------
 # Host-side packing
 # ---------------------------------------------------------------------------
 

@@ -128,6 +128,56 @@ def pad_segments(keys, valid, n_devices):
     return keys, valid
 
 
+def make_sharded_direct_estep(mesh, seg_of_contig, precision=None):
+    """Segment-sharded direct (AD-free) window E-step.
+
+    Same contract as ``make_sharded_window_estep`` but built from the
+    two-pass Baum-Welch kernel (ops/window_kernel.py:estep_direct): the
+    segment-operator pass and the lockstep alpha/beta statistic sweeps run
+    shard_map'd over the segment axis with xisum/gamma_sums psum'd across
+    the mesh; the tiny contig-level boundary scans and cross-boundary
+    statistics run replicated."""
+    from ..ops import window_kernel as wk
+
+    op_local = jax.shard_map(
+        partial(wk.segment_operators, precision=precision),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None), P("data", None)),
+        out_specs=(P("data", None, None), P("data")),
+        check_vma=False,
+    )
+    stats_local = jax.shard_map(
+        partial(wk.stats_pass, precision=precision, axis_name="data"),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None), P("data", None),
+                  P("data", None), P("data", None)),
+        out_specs=(P("data", None), P("data", None), P(), P()),
+        check_vma=False,
+    )
+
+    def estep(pi, T, E, keys, valid):
+        ops, logs = op_local(T, E, keys, valid)
+        seg_has = jnp.any(valid, axis=1)
+        ll, A_in, Q_end, cvalid = wk.contig_boundaries(
+            pi, ops, logs, seg_of_contig, seg_has
+        )
+        alpha_end, u_start, xo, gsum = stats_local(
+            T, E, keys, valid, A_in, Q_end
+        )
+        xo, pi_stat = wk.boundary_stats(
+            pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid
+        )
+        return ll, pi_stat, xo * T.astype(xo.dtype), gsum
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data", None))
+    return jax.jit(
+        estep,
+        in_shardings=(repl, repl, repl, data_sh, data_sh),
+        out_shardings=(repl, repl, repl, repl),
+    )
+
+
 def make_sharded_window_estep(mesh, seg_of_contig, precision=None):
     """Segment-sharded window-kernel E-step.
 

@@ -157,3 +157,44 @@ def test_sharded_window_estep():
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(g1), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(out[2]), np.asarray(x1), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(out[3]), np.asarray(gs1), rtol=1e-8)
+
+
+def test_sharded_direct_estep():
+    """Direct (AD-free) Baum-Welch sharded E-step matches the single-device
+    AD kernel, including with all-invalid padding segments."""
+    from smcpp_tpu.ops import window_kernel as wk
+
+    rng = np.random.RandomState(3)
+    nk = 9
+    data = []
+    for _ in range(5):
+        rows = rng.randint(20, 60)
+        d = np.c_[rng.randint(1, 20, rows), rng.randint(0, nk, rows)].astype(
+            np.int64
+        )
+        data.append(d)
+    key_id = {(k,): k for k in range(nk)}
+    M = 4
+    pi = jnp.asarray(rng.dirichlet(np.ones(M)))
+    T = jnp.asarray(rng.dirichlet(np.ones(M), size=M))
+    E = jnp.asarray(rng.uniform(0.1, 1.0, (nk, M)))
+
+    mesh = mesh_mod.make_mesh(jax.devices()[:8])
+    kk, vv, soc = wk.pack_windows(data, key_id, seg_target=32)
+    keys, valid = mesh_mod.pad_segments(kk, vv, mesh.devices.size)
+    estep = mesh_mod.make_sharded_direct_estep(mesh, soc)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data", None))
+    out = estep(
+        pi, T, E,
+        jax.device_put(jnp.asarray(keys), sh),
+        jax.device_put(jnp.asarray(valid), sh),
+    )
+    ll1, g1, x1, gs1 = wk.estep_windows(
+        pi, T, E, jnp.asarray(kk), jnp.asarray(vv), soc
+    )
+    assert np.isclose(float(out[0]), float(ll1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(g1), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(x1), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(gs1), rtol=1e-8)

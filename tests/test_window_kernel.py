@@ -147,3 +147,66 @@ def test_f32_consistency():
         )
     )
     assert np.isclose(ll32, ll64, rtol=2e-4)
+
+
+def test_estep_direct_matches_ad():
+    """The direct (AD-free) two-pass Baum-Welch kernel must reproduce the
+    gradient-identity statistics to machine precision in f64, across
+    multi-segment contigs, single-window contigs, and segment padding."""
+    for seed, C, rows, st in [(1, 3, 40, 16), (5, 1, 3, 16), (11, 2, 1, 8)]:
+        pi, T, E, data = make_problem(seed=seed, C=C, rows=rows)
+        key_id = {(k,): k for k in range(E.shape[0])}
+        keys, valid, soc = wk.pack_windows(data, key_id, seg_target=st)
+        args = (
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(keys), jnp.asarray(valid), soc,
+        )
+        ad = wk.estep_windows(*args)
+        dr = wk.estep_direct(*args)
+        assert np.isclose(float(ad[0]), float(dr[0]), rtol=1e-12)
+        for a, d in zip(ad[1:], dr[1:]):
+            np.testing.assert_allclose(
+                np.asarray(d), np.asarray(a), rtol=1e-12, atol=1e-15
+            )
+
+
+def test_estep_direct_rare_keys_f32():
+    """f32 direct kernel on rare-key-dense streams: finite, near the f64
+    oracle, and with exactly-conserved totals (f64 accumulators — sum of
+    gamma_sums/xisum equals the window count, sum of the pi-stat equals the
+    contig count)."""
+    rng = np.random.RandomState(7)
+    M, nk = 8, 15
+    pi = rng.dirichlet(np.ones(M))
+    T = rng.dirichlet(np.ones(M), size=M)
+    E = 10.0 ** rng.uniform(-8, 0, (nk, M))
+    data = []
+    for _ in range(3):
+        rows = rng.randint(30, 70)
+        d = np.c_[rng.randint(1, 12, rows), rng.randint(0, nk, rows)]
+        data.append(d.astype(np.int64))
+    key_id = {(k,): k for k in range(nk)}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    n_windows = float(sum(d[:, 0].sum() for d in data))
+    f64 = wk.estep_direct(
+        jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+        jnp.asarray(keys), jnp.asarray(valid), soc,
+    )
+    f32 = wk.estep_direct(
+        jnp.asarray(pi, jnp.float32), jnp.asarray(T, jnp.float32),
+        jnp.asarray(E, jnp.float32), jnp.asarray(keys),
+        jnp.asarray(valid), soc,
+    )
+    for o in f32[1:]:
+        assert np.all(np.isfinite(np.asarray(o)))
+    assert np.isclose(float(f32[0]), float(f64[0]), rtol=1e-3)
+    np.testing.assert_allclose(float(np.sum(np.asarray(f32[1]))), 3.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(np.sum(np.asarray(f32[2]))), n_windows,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(np.sum(np.asarray(f32[3]))), n_windows,
+                               rtol=1e-6)
+    for a, d, tol in zip(f64[1:], f32[1:], (2e-2, 1e-2, 1e-2)):
+        np.testing.assert_allclose(
+            np.asarray(d, np.float64), np.asarray(a), rtol=tol, atol=1e-8
+        )
