@@ -66,7 +66,8 @@ def _carry_dtype(precision, base_dtype):
 ONEHOT_MAX_KEYS = 384
 
 
-def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision):
+def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision,
+                 emit_e=False):
     """Advance ``X`` (M, S, M) through a block of window steps.
 
     keys_blk, valid_blk: (B, S).  Numerical control in two layers (together
@@ -112,21 +113,27 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision):
         Y = jnp.maximum(Y, FLOOR)
         X = jnp.where(v[None, :, None], Y, X).astype(cdt)
         logs = logs + jnp.where(v, jnp.log(em), 0.0)
-        return (X, logs), None
+        # e_all stays in E.dtype: its values are already matmul-tier-rounded
+        # E rows, and a second (storage) rounding of the normalized quotient
+        # measurably perturbs EM fits; the extra f32 traffic costs ~3%.
+        return (X, logs), (e if emit_e else None)
 
-    (X, logs), _ = jax.lax.scan(step, (X, logs), (keys_blk, valid_blk))
+    (X, logs), e_blk = jax.lax.scan(step, (X, logs), (keys_blk, valid_blk))
     Xf = X.astype(E.dtype)
     m = jnp.maximum(jnp.max(jnp.abs(Xf), axis=(0, 2)), tiny)  # (S,)
-    return (Xf / m[None, :, None]).astype(cdt), logs + jnp.log(m)
+    return (Xf / m[None, :, None]).astype(cdt), logs + jnp.log(m), e_blk
 
 
-def segment_operators(T, E, keys, valid, precision=None):
+def segment_operators(T, E, keys, valid, precision=None, emit_e=False):
     """Transfer operators for S segments of L windows each.
 
     keys, valid: (S, L) with L a multiple of RESCALE_EVERY.
     Returns ops (S, M, M) [ops[s] = product over the segment, applied as
-    alpha_out = ops[s] @ alpha_in] and logs (S,).
-    """
+    alpha_out = ops[s] @ alpha_in] and logs (S,).  With ``emit_e`` also
+    returns the per-window normalized emission stream e_all (L, S, M) in
+    the carry dtype — a free by-product that saves the statistic sweeps
+    (stats_pass) from rebuilding one-hot emission lookups per step (the
+    one-hot materialization was ~half their HBM traffic)."""
     if precision is None:
         precision = MATMUL_PRECISION
     S, L = keys.shape
@@ -143,17 +150,19 @@ def segment_operators(T, E, keys, valid, precision=None):
     valid_b = valid.T.reshape(nblk, RESCALE_EVERY, S)
 
     block = jax.checkpoint(
-        lambda X, logs, kb, vb: _steps_block(Tt, E, X, logs, kb, vb, precision),
+        lambda X, logs, kb, vb: _steps_block(
+            Tt, E, X, logs, kb, vb, precision, emit_e
+        ),
         prevent_cse=False,
     )
 
     def outer(carry, kv):
         X, logs = carry
         kb, vb = kv
-        X, logs = block(X, logs, kb, vb)
-        return (X, logs), None
+        X, logs, e_blk = block(X, logs, kb, vb)
+        return (X, logs), e_blk
 
-    (X, logs), _ = jax.lax.scan(
+    (X, logs), e_all = jax.lax.scan(
         outer, (X0, jnp.zeros(S, T.dtype)), (keys_b, valid_b)
     )
     # X[i, s, k] = (product of step operators applied to basis vector k)_i,
@@ -161,6 +170,8 @@ def segment_operators(T, E, keys, valid, precision=None):
     # Cast back up so the contig scan's log-sum stays exact (one (S, M, M)
     # pass — negligible next to the L per-step carry passes).
     ops = jnp.transpose(X, (1, 0, 2)).astype(T.dtype)  # (S, i, k)
+    if emit_e:
+        return ops, logs, e_all.reshape(L, S, Mdim)
     return ops, logs
 
 
@@ -309,23 +320,25 @@ def contig_boundaries(pi, ops, logs, seg_of_contig, seg_has):
     return jnp.sum(llc), A_in, Q_end, cvalid
 
 
-def stats_pass(T, E, keys, valid, A_in, Q_end, precision=None,
+def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
                axis_name=None):
     """Lockstep alpha/beta sweeps accumulating within-segment statistics.
 
-    Returns (alpha_end (S, M), u_start (S, M), xo (M, M) f64,
-    gsum (n_keys, M) f64) where ``xo`` is the raw outer-product accumulator
-    (multiply elementwise by T to get the xisum contribution) and
-    ``u_start[s] = e_first ⊙ beta_first`` feeds the boundary transitions.
-    With ``axis_name``, xo/gsum are psum'd across that mesh axis (for
-    shard_map over the segment axis)."""
+    ``e_all`` (L, S, M): per-window emission stream from
+    ``segment_operators(..., emit_e=True)`` (any per-window scaling is
+    fine — all normalizers are window-local); if None it is rebuilt here
+    via one-hot lookups (slower on TPU).  Returns (alpha_end (S, M),
+    u_start (S, M), xo (M, M) f64, gsum (n_keys, M) f64) where ``xo`` is
+    the raw outer-product accumulator (multiply elementwise by T to get
+    the xisum contribution) and ``u_start[s] = e_first ⊙ beta_first``
+    feeds the boundary transitions.  With ``axis_name``, xo/gsum are
+    psum'd across that mesh axis (for shard_map over the segment axis)."""
     if precision is None:
         precision = MATMUL_PRECISION
     S, L = keys.shape
     Mdim = T.shape[0]
     n_keys = E.shape[0]
     dt = E.dtype
-    cdt = _carry_dtype(precision, jnp.dtype(dt))
     tiny = jnp.finfo(dt).tiny
     use_onehot = n_keys <= ONEHOT_MAX_KEYS
     key_iota = jnp.arange(n_keys, dtype=jnp.int32)
@@ -334,17 +347,18 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, precision=None,
     vnextT = jnp.concatenate(
         [validT[1:], jnp.zeros((1, S), bool)], axis=0
     )
+    cdt = _carry_dtype(precision, jnp.dtype(dt))
 
     def emis(k):
         if use_onehot:
             oh = (k[:, None] == key_iota[None, :]).astype(dt)
-            return oh, oh @ E
-        return None, E[k]
+            return oh @ E
+        return E[k]
 
     def asc(alpha, kv):
-        k, v = kv
+        ek, v = kv  # keys row when e_all is None, else the e_all slice
         with jax.default_matmul_precision(precision):
-            _, e = emis(k)
+            e = emis(ek) if e_all is None else ek.astype(dt)
             anew = e * (alpha @ T)
         anew = anew / jnp.maximum(
             jnp.max(anew, axis=1, keepdims=True), tiny
@@ -353,15 +367,16 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, precision=None,
         return alpha, alpha.astype(cdt)
 
     alpha_end, alphas = jax.lax.scan(
-        asc, A_in.astype(dt), (keysT, validT)
+        asc, A_in.astype(dt),
+        (keysT if e_all is None else e_all, validT),
     )
 
     def dsc(carry, xs):
         q, u, xo, gsum = carry
-        a_l, k, v, vn = xs
+        a_l, e_l, k, v, vn = xs
         a_l = a_l.astype(dt)
         with jax.default_matmul_precision(precision):
-            oh, e = emis(k)
+            e = emis(k) if e_l is None else e_l.astype(dt)
             tv = u @ T.T  # tv[s, j] = sum_i T[j, i] u[s, i]
         qun = jnp.where(vn[:, None], tv, q)
         Z = jnp.maximum(jnp.sum(a_l * qun, axis=1), tiny)
@@ -369,6 +384,9 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, precision=None,
         ascale = (a_l / Z[:, None]) * (v & vn)[:, None]
         with jax.default_matmul_precision(precision):
             if use_onehot:
+                # f32 one-hot: keeps the per-key masses exactly conservative
+                # (a bf16 gamma operand costs ~4e-5 total-mass drift)
+                oh = (k[:, None] == key_iota[None, :]).astype(dt)
                 g_k = oh.T @ gamma  # (n_keys, M)
             else:
                 g_k = jnp.zeros((n_keys, Mdim), dt).at[k].add(gamma)
@@ -386,9 +404,18 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, precision=None,
         jnp.zeros((Mdim, Mdim), jnp.float64),
         jnp.zeros((n_keys, Mdim), jnp.float64),
     )
-    (_, u_start, xo, gsum), _ = jax.lax.scan(
-        dsc, init, (alphas, keysT, validT, vnextT), reverse=True
-    )
+    if e_all is None:
+        def dsc_noe(carry, xs):
+            a_l, k, v, vn = xs
+            return dsc(carry, (a_l, None, k, v, vn))
+
+        (_, u_start, xo, gsum), _ = jax.lax.scan(
+            dsc_noe, init, (alphas, keysT, validT, vnextT), reverse=True
+        )
+    else:
+        (_, u_start, xo, gsum), _ = jax.lax.scan(
+            dsc, init, (alphas, e_all, keysT, validT, vnextT), reverse=True
+        )
     if axis_name is not None:
         xo = jax.lax.psum(xo, axis_name)
         gsum = jax.lax.psum(gsum, axis_name)
@@ -428,13 +455,15 @@ def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None):
     (ll, pi-stat, xisum, gamma_sums), computed without autodiff."""
     if precision is None:
         precision = MATMUL_PRECISION
-    ops, logs = segment_operators(T, E, keys, valid, precision)
+    ops, logs, e_all = segment_operators(
+        T, E, keys, valid, precision, emit_e=True
+    )
     seg_has = jnp.any(valid, axis=1)
     ll, A_in, Q_end, cvalid = contig_boundaries(
         pi, ops, logs, seg_of_contig, seg_has
     )
     alpha_end, u_start, xo, gsum = stats_pass(
-        T, E, keys, valid, A_in, Q_end, precision
+        T, E, keys, valid, A_in, Q_end, e_all, precision
     )
     xo, pi_stat = boundary_stats(
         pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid

@@ -140,29 +140,31 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None):
     from ..ops import window_kernel as wk
 
     op_local = jax.shard_map(
-        partial(wk.segment_operators, precision=precision),
+        partial(wk.segment_operators, precision=precision, emit_e=True),
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None)),
-        out_specs=(P("data", None, None), P("data")),
+        out_specs=(P("data", None, None), P("data"),
+                   P(None, "data", None)),
         check_vma=False,
     )
     stats_local = jax.shard_map(
         partial(wk.stats_pass, precision=precision, axis_name="data"),
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None),
-                  P("data", None), P("data", None)),
+                  P("data", None), P("data", None),
+                  P(None, "data", None)),
         out_specs=(P("data", None), P("data", None), P(), P()),
         check_vma=False,
     )
 
     def estep(pi, T, E, keys, valid):
-        ops, logs = op_local(T, E, keys, valid)
+        ops, logs, e_all = op_local(T, E, keys, valid)
         seg_has = jnp.any(valid, axis=1)
         ll, A_in, Q_end, cvalid = wk.contig_boundaries(
             pi, ops, logs, seg_of_contig, seg_has
         )
         alpha_end, u_start, xo, gsum = stats_local(
-            T, E, keys, valid, A_in, Q_end
+            T, E, keys, valid, A_in, Q_end, e_all
         )
         xo, pi_stat = wk.boundary_stats(
             pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid

@@ -139,14 +139,17 @@ def test_f32_consistency():
             jnp.asarray(keys), jnp.asarray(valid), soc,
         )
     )
-    ll32 = float(
-        wk.loglik_windows(
-            jnp.asarray(pi, jnp.float32), jnp.asarray(T, jnp.float32),
-            jnp.asarray(E, jnp.float32),
-            jnp.asarray(keys), jnp.asarray(valid), soc,
-        )
+    args32 = (
+        jnp.asarray(pi, jnp.float32), jnp.asarray(T, jnp.float32),
+        jnp.asarray(E, jnp.float32),
+        jnp.asarray(keys), jnp.asarray(valid), soc,
     )
+    ll32 = float(wk.loglik_windows(*args32))
     assert np.isclose(ll32, ll64, rtol=2e-4)
+    # the escalation rungs keep exact-f32 carries/lookups
+    for p in ("tensorfloat32", "highest"):
+        llp = float(wk.loglik_windows(*args32, precision=p))
+        assert np.isclose(llp, ll64, rtol=2e-5), p
 
 
 def test_estep_direct_matches_ad():
