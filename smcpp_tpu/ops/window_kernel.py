@@ -102,21 +102,23 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision,
         k, v = kv  # (S,) int, (S,) bool
         with jax.default_matmul_precision(precision):
             if use_onehot:
-                oh = (k[:, None] == key_iota[None, :]).astype(E.dtype)
-                e = oh @ E  # (S, M)
+                # transposed one-hot: eT (M, S) comes out directly in the
+                # lane-friendly (M, S) layout the stat sweeps consume
+                ohT = (key_iota[:, None] == k[None, :]).astype(E.dtype)
+                eT = E.T @ ohT  # (M, S)
             else:
-                e = E[k]  # (S, M)
+                eT = E[k].T  # (M, S)
             Y = jnp.einsum("ij,jsk->isk", Tt, X)  # accumulates in E.dtype
-        em = jnp.maximum(jnp.max(e, axis=1), tiny)  # (S,)
-        e = e / em[:, None]
-        Y = Y * e.T[:, :, None]
+        em = jnp.maximum(jnp.max(eT, axis=0), tiny)  # (S,)
+        eT = eT / em[None, :]
+        Y = Y * eT[:, :, None]
         Y = jnp.maximum(Y, FLOOR)
         X = jnp.where(v[None, :, None], Y, X).astype(cdt)
         logs = logs + jnp.where(v, jnp.log(em), 0.0)
         # e_all stays in E.dtype: its values are already matmul-tier-rounded
         # E rows, and a second (storage) rounding of the normalized quotient
         # measurably perturbs EM fits; the extra f32 traffic costs ~3%.
-        return (X, logs), (e if emit_e else None)
+        return (X, logs), (eT if emit_e else None)
 
     (X, logs), e_blk = jax.lax.scan(step, (X, logs), (keys_blk, valid_blk))
     Xf = X.astype(E.dtype)
@@ -130,10 +132,11 @@ def segment_operators(T, E, keys, valid, precision=None, emit_e=False):
     keys, valid: (S, L) with L a multiple of RESCALE_EVERY.
     Returns ops (S, M, M) [ops[s] = product over the segment, applied as
     alpha_out = ops[s] @ alpha_in] and logs (S,).  With ``emit_e`` also
-    returns the per-window normalized emission stream e_all (L, S, M) in
-    the carry dtype — a free by-product that saves the statistic sweeps
-    (stats_pass) from rebuilding one-hot emission lookups per step (the
-    one-hot materialization was ~half their HBM traffic)."""
+    returns the per-window normalized emission stream e_all (L, M, S) —
+    lane-friendly (M, S) slices — a free by-product that saves the
+    statistic sweeps (stats_pass) from rebuilding one-hot emission
+    lookups per step (the one-hot materialization was ~half their HBM
+    traffic)."""
     if precision is None:
         precision = MATMUL_PRECISION
     S, L = keys.shape
@@ -171,7 +174,7 @@ def segment_operators(T, E, keys, valid, precision=None, emit_e=False):
     # pass — negligible next to the L per-step carry passes).
     ops = jnp.transpose(X, (1, 0, 2)).astype(T.dtype)  # (S, i, k)
     if emit_e:
-        return ops, logs, e_all.reshape(L, S, Mdim)
+        return ops, logs, e_all.reshape(L, Mdim, S)
     return ops, logs
 
 
@@ -324,15 +327,18 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
                axis_name=None):
     """Lockstep alpha/beta sweeps accumulating within-segment statistics.
 
-    ``e_all`` (L, S, M): per-window emission stream from
-    ``segment_operators(..., emit_e=True)`` (any per-window scaling is
-    fine — all normalizers are window-local); if None it is rebuilt here
-    via one-hot lookups (slower on TPU).  Returns (alpha_end (S, M),
-    u_start (S, M), xo (M, M) f64, gsum (n_keys, M) f64) where ``xo`` is
-    the raw outer-product accumulator (multiply elementwise by T to get
-    the xisum contribution) and ``u_start[s] = e_first ⊙ beta_first``
-    feeds the boundary transitions.  With ``axis_name``, xo/gsum are
-    psum'd across that mesh axis (for shard_map over the segment axis)."""
+    All per-window state lives in the transposed (M, S) layout so the big
+    segment axis is the TPU lane dimension (an (S, 16) layout wastes 7/8
+    of every 128-wide lane tile).  ``e_all`` (L, M, S): per-window
+    emission stream from ``segment_operators(..., emit_e=True)`` (any
+    per-window scaling is fine — all normalizers are window-local); if
+    None it is rebuilt here via one-hot lookups (slower on TPU).  Returns
+    (alpha_end (S, M), u_start (S, M), xo (M, M) f64, gsum (n_keys, M)
+    f64) where ``xo`` is the raw outer-product accumulator (multiply
+    elementwise by T to get the xisum contribution) and ``u_start[s] =
+    e_first ⊙ beta_first`` feeds the boundary transitions.  With
+    ``axis_name``, xo/gsum are psum'd across that mesh axis (for
+    shard_map over the segment axis)."""
     if precision is None:
         precision = MATMUL_PRECISION
     S, L = keys.shape
@@ -349,77 +355,83 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
     )
     cdt = _carry_dtype(precision, jnp.dtype(dt))
 
-    def emis(k):
+    def emisT(k):
+        "(M, S) emission columns for one window row of keys."
         if use_onehot:
-            oh = (k[:, None] == key_iota[None, :]).astype(dt)
-            return oh @ E
-        return E[k]
+            ohT = (key_iota[:, None] == k[None, :]).astype(dt)
+            return E.T @ ohT
+        return E[k].T
 
-    def asc(alpha, kv):
-        ek, v = kv  # keys row when e_all is None, else the e_all slice
+    def asc(aT, kv):
+        ek, v = kv  # keys row when e_all is None, else the (M, S) e slice
         with jax.default_matmul_precision(precision):
-            e = emis(ek) if e_all is None else ek.astype(dt)
-            anew = e * (alpha @ T)
+            eT = emisT(ek) if e_all is None else ek.astype(dt)
+            anew = eT * (T.T @ aT)  # anew[i,s] = e[i,s] sum_j T[j,i] a[j,s]
         anew = anew / jnp.maximum(
-            jnp.max(anew, axis=1, keepdims=True), tiny
+            jnp.max(anew, axis=0, keepdims=True), tiny
         )
-        alpha = jnp.where(v[:, None], anew, alpha)
-        return alpha, alpha.astype(cdt)
+        aT = jnp.where(v[None, :], anew, aT)
+        return aT, aT.astype(cdt)
 
-    alpha_end, alphas = jax.lax.scan(
-        asc, A_in.astype(dt),
+    alpha_end_T, alphas = jax.lax.scan(
+        asc, A_in.T.astype(dt),
         (keysT if e_all is None else e_all, validT),
     )
 
     def dsc(carry, xs):
-        q, u, xo, gsum = carry
-        a_l, e_l, k, v, vn = xs
-        a_l = a_l.astype(dt)
+        qT, uT, xo, gsum = carry
+        aT, e_l, k, v, vn = xs
+        aT = aT.astype(dt)
         with jax.default_matmul_precision(precision):
-            e = emis(k) if e_l is None else e_l.astype(dt)
-            tv = u @ T.T  # tv[s, j] = sum_i T[j, i] u[s, i]
-        qun = jnp.where(vn[:, None], tv, q)
-        Z = jnp.maximum(jnp.sum(a_l * qun, axis=1), tiny)
-        gamma = (a_l * qun / Z[:, None]) * v[:, None]
-        ascale = (a_l / Z[:, None]) * (v & vn)[:, None]
+            eT = emisT(k) if e_l is None else e_l.astype(dt)
+            tv = T @ uT  # tv[j,s] = sum_i T[j,i] u[i,s]
+        qun = jnp.where(vn[None, :], tv, qT)
+        Z = jnp.maximum(jnp.sum(aT * qun, axis=0), tiny)  # (S,)
+        gamma = (aT * qun / Z[None, :]) * v[None, :]
+        ascale = (aT / Z[None, :]) * (v & vn)[None, :]
         with jax.default_matmul_precision(precision):
             if use_onehot:
                 # f32 one-hot: keeps the per-key masses exactly conservative
-                # (a bf16 gamma operand costs ~4e-5 total-mass drift)
-                oh = (k[:, None] == key_iota[None, :]).astype(dt)
-                g_k = oh.T @ gamma  # (n_keys, M)
+                # (a bf16 gamma operand costs ~4e-5 total-mass drift).
+                # Contracting the lane axis S gives full MXU K-utilization.
+                ohT = (key_iota[:, None] == k[None, :]).astype(dt)
+                g_k = jax.lax.dot_general(
+                    gamma, ohT, (((1,), (1,)), ((), ()))
+                )  # (M, n_keys)
             else:
-                g_k = jnp.zeros((n_keys, Mdim), dt).at[k].add(gamma)
-            xi_c = ascale.T @ u  # (M, M), T ⊙ applied at the end
+                g_k = jnp.zeros((n_keys, Mdim), dt).at[k].add(gamma.T).T
+            xi_c = jax.lax.dot_general(
+                ascale, uT, (((1,), (1,)), ((), ()))
+            )  # (M_j, M_i), T ⊙ applied at the end
         gsum = gsum + g_k.astype(jnp.float64)
         xo = xo + xi_c.astype(jnp.float64)
-        qn = qun / jnp.maximum(jnp.max(qun, axis=1, keepdims=True), tiny)
-        q = jnp.where(v[:, None], qn, q)
-        u = jnp.where(v[:, None], e * q, u)
-        return (q, u, xo, gsum), None
+        qn = qun / jnp.maximum(jnp.max(qun, axis=0, keepdims=True), tiny)
+        qT = jnp.where(v[None, :], qn, qT)
+        uT = jnp.where(v[None, :], eT * qT, uT)
+        return (qT, uT, xo, gsum), None
 
     init = (
-        Q_end.astype(dt),
-        jnp.zeros((S, Mdim), dt),
+        Q_end.T.astype(dt),
+        jnp.zeros((Mdim, S), dt),
         jnp.zeros((Mdim, Mdim), jnp.float64),
-        jnp.zeros((n_keys, Mdim), jnp.float64),
+        jnp.zeros((Mdim, n_keys), jnp.float64),
     )
     if e_all is None:
         def dsc_noe(carry, xs):
             a_l, k, v, vn = xs
             return dsc(carry, (a_l, None, k, v, vn))
 
-        (_, u_start, xo, gsum), _ = jax.lax.scan(
+        (_, u_start_T, xo, gsum), _ = jax.lax.scan(
             dsc_noe, init, (alphas, keysT, validT, vnextT), reverse=True
         )
     else:
-        (_, u_start, xo, gsum), _ = jax.lax.scan(
+        (_, u_start_T, xo, gsum), _ = jax.lax.scan(
             dsc, init, (alphas, e_all, keysT, validT, vnextT), reverse=True
         )
     if axis_name is not None:
         xo = jax.lax.psum(xo, axis_name)
         gsum = jax.lax.psum(gsum, axis_name)
-    return alpha_end, u_start, xo, gsum
+    return alpha_end_T.T, u_start_T.T, xo, gsum.T
 
 
 def boundary_stats(pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid):

@@ -144,7 +144,7 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None):
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None)),
         out_specs=(P("data", None, None), P("data"),
-                   P(None, "data", None)),
+                   P(None, None, "data")),
         check_vma=False,
     )
     stats_local = jax.shard_map(
@@ -152,7 +152,7 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None):
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None),
                   P("data", None), P("data", None),
-                  P(None, "data", None)),
+                  P(None, None, "data")),
         out_specs=(P("data", None), P("data", None), P(), P()),
         check_vma=False,
     )
