@@ -475,6 +475,99 @@ class OnePopInferenceManager(_EagerQOps):
             )
         return self._setup_cache[key]
 
+    def _use_fast_mstep(self):
+        """True when the batched M-step objective should run as the f32
+        program on the accelerator (`_setup_fast`) instead of f64 on the
+        host CPU.  Requires a non-CPU E-step device (on CPU the f64 path
+        is both faster to compile and exact); SMCPP_TPU_FAST_MSTEP=0
+        forces the f64 host path."""
+        import os
+
+        if os.environ.get("SMCPP_TPU_FAST_MSTEP", "1") == "0":
+            return False
+        if getattr(self, "_joint", False) or self._grid is None:
+            return False
+        try:
+            return self._device.platform != "cpu"
+        except AttributeError:
+            return False
+
+    def _setup_fast(self):
+        """f32 accelerator programs for the batched M-step objective.
+
+        The M-step's scalar searches evaluate ~270 Q candidates per EM
+        iteration; on the host CPU each costs ~6.5 ms of f64 compute while
+        the accelerator idles.  The same pipeline traced in f32 (f32 time
+        grid via TimeGrid.astype — terminal width re-clamped to stay
+        f32-finite — and dtype-following constants throughout ops/) runs
+        ~10x faster on one TPU chip.  Accuracy: the f32 tensor pipeline
+        contributes only ~1e-7 relative Q error (measured ~10 absolute at
+        |Q|~1.6e8), far below the E-step's own bf16 statistic noise; the
+        final log-dot reductions accumulate 1e8-magnitude sums, so they
+        run in f64 (a ~2.5K-element emulated tail — negligible)."""
+        key = ("fast", id(self._grid))
+        if key not in self._setup_cache:
+            grid32 = self._grid.astype(np.float32)
+            n, idx, model = self.n, self.em_idx, self.model
+            svf = model.stepwise_values_fn
+            f32, f64 = jnp.float32, jnp.float64
+
+            def tensors32(y, theta, rho, alpha):
+                # spline eval stays f64 (tiny); the grid pipeline runs f32
+                a = svf(y).astype(f32)
+                theta = jnp.asarray(theta, f32)
+                rho = jnp.asarray(rho, f32)
+                alpha = jnp.asarray(alpha, f32)
+                pi = ratefunc.initial_distribution(a, grid32)
+                T = transition.transition_matrix(a, rho, grid32)
+                bl = csfs_mod.conditioned_sfs(a, grid32, n)
+                em = csfs_mod.incorporate_theta(bl, theta)
+                act = ratefunc.average_coal_times(a, grid32)
+                e2 = em_mod.e2_matrix(act, theta, alpha)
+                E = em_mod.emission_matrix(idx, em, e2)
+                return pi, T, E
+
+            def q32(y, theta, rho, alpha, gamma0, xisum, gamma_sums):
+                pi, T, E = tensors32(y, theta, rho, alpha)
+                return (
+                    jnp.dot(gamma0, jnp.log(pi).astype(f64))
+                    + jnp.sum(gamma_sums * jnp.log(E).astype(f64))
+                    + jnp.sum(xisum * jnp.log(T).astype(f64))
+                )
+
+            def q_rho_batch32(y, theta, rhos, alpha, gamma0, xisum,
+                              gamma_sums):
+                a = svf(y).astype(f32)
+                theta32 = jnp.asarray(theta, f32)
+                alpha32 = jnp.asarray(alpha, f32)
+                pi = ratefunc.initial_distribution(a, grid32)
+                bl = csfs_mod.conditioned_sfs(a, grid32, n)
+                em = csfs_mod.incorporate_theta(bl, theta32)
+                act = ratefunc.average_coal_times(a, grid32)
+                e2 = em_mod.e2_matrix(act, theta32, alpha32)
+                E = em_mod.emission_matrix(idx, em, e2)
+                base = jnp.dot(gamma0, jnp.log(pi).astype(f64)) + jnp.sum(
+                    gamma_sums * jnp.log(E).astype(f64)
+                )
+
+                def xi_term(rho):
+                    T = transition.transition_matrix(
+                        a, jnp.asarray(rho, f32), grid32
+                    )
+                    return jnp.sum(xisum * jnp.log(T).astype(f64))
+
+                return base + jax.vmap(xi_term)(rhos)
+
+            dev = self._device
+            self._setup_cache[key] = (
+                jax.jit(
+                    jax.vmap(q32, in_axes=(0, None, 0, None, None, None, None)),
+                    device=dev,
+                ),
+                jax.jit(q_rho_batch32, device=dev),
+            )
+        return self._setup_cache[key]
+
     def tensors(self):
         if getattr(self, "_joint", False):
             marg = _marginal_model(self.model, self.pid[0])
@@ -605,31 +698,51 @@ class OnePopInferenceManager(_EagerQOps):
         # would materialize on the DEFAULT device (the remote TPU under
         # the tunnel) and every M-step call would pay a tunnel round trip
         # before the CPU-jitted program even runs
-        y0, th, rho0, al, g0, xs, gs = self._q_args(None, theta, None, alpha)
+        fast = self._use_fast_mstep()
+        y0, th, rho0, al, g0, xs, gs = self._q_args(
+            None, theta, None, alpha, accel=fast
+        )
+        # Fast path: pad every call to one static batch width so the TPU
+        # program compiles once (the searches use widths 24/12/1; a padded
+        # batch costs nothing on the accelerator, unlike the CPU path
+        # whose cost is linear in width).
+        PAD = 24
         if ys is None:
             # rho-only sweep: shared setup + vmapped transition
-            qrb = self._setup()[4]
+            qrb = self._setup_fast()[1] if fast else self._setup()[4]
             rhob = np.asarray(rhos, np.float64)
-            return np.asarray(qrb(y0, th, rhob, al, g0, xs, gs))
-        qb = self._setup()[3]
+            B = len(rhob)
+            if fast and B % PAD:
+                rhob = np.concatenate(
+                    [rhob, np.full((-B) % PAD, rhob[0])]
+                )
+            return np.asarray(qrb(y0, th, rhob, al, g0, xs, gs))[:B]
+        qb = self._setup_fast()[0] if fast else self._setup()[3]
         B = len(ys)
         ysb = np.asarray(ys, np.float64)
         if rhos is None:
             rhob = np.full((B,), rho0, np.float64)
         else:
             rhob = np.asarray(rhos, np.float64)
-        return np.asarray(qb(ysb, th, rhob, al, g0, xs, gs))
+        if fast and B % PAD:
+            pad = (-B) % PAD
+            ysb = np.concatenate([ysb, np.tile(ysb[:1], (pad, 1))])
+            rhob = np.concatenate([rhob, np.full(pad, rhob[0])])
+        return np.asarray(qb(ysb, th, rhob, al, g0, xs, gs))[:B]
 
-    def _q_args(self, y, theta, rho, alpha):
+    def _q_args(self, y, theta, rho, alpha, accel=False):
         # keep the (constant-per-E-step) statistics resident on the setup
         # device so each of the ~100 M-step evaluations skips the transfer
-        if getattr(self, "_stats_dev_of", None) is not self._stats:
-            self._stats_dev = tuple(
-                jax.device_put(jnp.asarray(s, jnp.float64), self._cpu)
+        dev = self._device if accel else self._cpu
+        cache, of = ("_stats_accel", "_stats_accel_of") if accel else (
+            "_stats_dev", "_stats_dev_of")
+        if getattr(self, of, None) is not self._stats:
+            setattr(self, cache, tuple(
+                jax.device_put(jnp.asarray(s, jnp.float64), dev)
                 for s in self._stats
-            )
-            self._stats_dev_of = self._stats
-        gamma0, xisum, gamma_sums = self._stats_dev
+            ))
+            setattr(self, of, self._stats)
+        gamma0, xisum, gamma_sums = getattr(self, cache)
         return (
             # NumPy, not eager jnp: the jitted CPU program places it
             # host->CPU directly instead of bouncing through the default

@@ -28,20 +28,26 @@ def conditioned_sfs(a, grid: TimeGrid, n: int, xp=jnp):
     (conditioned_sfs.cpp:41-83) has long since broken down.
     """
     mc = exact.cached_matrices(n)
+    # constants follow the working dtype (f64 np arrays would promote an
+    # f32 setup program back to f64 under x64)
+    fdt = np.dtype(getattr(a, "dtype", np.float64))
+    M0, M1 = mc.M0.astype(fdt), mc.M1.astype(fdt)
+    X0, X2 = mc.X0.astype(fdt), mc.X2.astype(fdt)
+    Uinv0, Uinv2 = mc.Uinv0.astype(fdt), mc.Uinv2.astype(fdt)
 
     # ---- below part (conditioned_sfs.cpp:12-39)
     tb = ratefunc.tjj_below(a, grid, n, xp)  # (M, n+1)
-    row0_below = tb @ mc.M0  # (M, n) -> goes in [0, 1:]
-    row1_below = tb @ mc.M1  # (M, n+1) -> row 1
+    row0_below = tb @ M0  # (M, n) -> goes in [0, 1:]
+    row1_below = tb @ M1  # (M, n+1) -> row 1
 
     # ---- above part (conditioned_sfs.cpp:41-83)
     C = ratefunc.tjj_above(a, grid, n, xp)  # (M, n+1, n); axes (h, jj-2, j-2)
     Ct = C[:, 1:, :]  # drop jj=2 (lambda = 0): it never reaches states >= 1
     # tmp[h, k] = sum_i X[i, k] * Ct[h, k, i]  (eigen index k = 3..n+2)
-    tmp0 = xp.einsum("ik,hki->hk", mc.X0, Ct)
-    tmp2 = xp.einsum("ik,hki->hk", mc.X2, Ct)
-    row0_above = tmp0 @ mc.Uinv0  # (M, n) -> [0, 1:]
-    row2_above = tmp2 @ mc.Uinv2  # (M, n) -> [2, :n]
+    tmp0 = xp.einsum("ik,hki->hk", X0, Ct)
+    tmp2 = xp.einsum("ik,hki->hk", X2, Ct)
+    row0_above = tmp0 @ Uinv0  # (M, n) -> [0, 1:]
+    row2_above = tmp2 @ Uinv2  # (M, n) -> [2, :n]
 
     M = grid.M
     if xp is not jnp:

@@ -156,7 +156,8 @@ def emission_matrix(idx: EmissionIndex, csfs_theta, e2):
     """
     M = csfs_theta.shape[0]
     flat = csfs_theta.reshape(M, -1)  # (M, 3*(n+1))
-    binned = jnp.asarray(idx.W) @ flat.T  # (n_keys, M)
+    # W follows the working dtype (f64 would promote an f32 setup program)
+    binned = jnp.asarray(idx.W.astype(flat.dtype)) @ flat.T  # (n_keys, M)
     dinuc = e2.T[idx.parity]  # (n_keys, M)
     kind = idx.kind[:, None]
     out = jnp.where(

@@ -61,10 +61,34 @@ class TimeGrid:
 
     def segment_matrix(self) -> np.ndarray:
         "Static (M, K) 0/1 matrix summing pieces into their hidden interval."
-        seg = np.zeros((self.M, self.K))
+        seg = np.zeros((self.M, self.K), dtype=self.dt.dtype)
         idx = np.arange(self.K)[self.piece_valid]
         seg[self.interval_of_piece[self.piece_valid], idx] = 1.0
         return seg
+
+    def astype(self, dtype) -> "TimeGrid":
+        """Grid with float fields cast to ``dtype`` (for reduced-precision
+        setup programs, e.g. the TPU f32 M-step objective).
+
+        For float32 the terminal "infinite" width is re-clamped from
+        ``defaults.BIG_T`` (1e250, f32-overflow) to 1e25: still large enough
+        that exp(-ada * BIG_T) == 0.0 exactly for any ada >= 1e-22, while
+        intermediate products like rate * R_terminal (~1e3 * 1e28) stay far
+        below f32 max."""
+        dtype = np.dtype(dtype)
+        if dtype == self.dt.dtype:
+            return self
+        dt = self.dt.copy()
+        if dtype == np.float32:
+            dt[-1] = min(defaults.BIG_T, 1e25)
+        dt = dt.astype(dtype)
+        return TimeGrid(
+            ts=self.ts.astype(dtype),
+            dt=dt,
+            src=self.src,
+            hs_indices=self.hs_indices,
+            hidden_states=self.hidden_states.astype(dtype),
+        )
 
 
 def make_time_grid(s, hidden_states) -> TimeGrid:

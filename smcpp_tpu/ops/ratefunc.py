@@ -115,7 +115,10 @@ def _log_single_integrals(rates, ada, Rr, grid: TimeGrid, xp=jnp):
     rates: static numpy int array (R,).  Returns (R, K).
     Reference closed form: piecewise_constant_rate_function.cpp:197-211.
     """
-    rates = np.asarray(rates, dtype=np.float64)[:, None]  # (R,1)
+    # static constants follow the working dtype (an f64 np array would
+    # silently promote an f32 setup program back to f64 under x64)
+    fdt = np.dtype(getattr(ada, "dtype", np.float64))
+    rates = np.asarray(rates, dtype=fdt)[:, None]  # (R,1)
     # rate == 0 rows take the log(dt) branch below; keep the main formula
     # NaN-free for them (log/0-division otherwise poisons the gradient).
     rates_safe = np.where(rates == 0, 1.0, rates)
@@ -173,7 +176,8 @@ def tjj_below(a, grid: TimeGrid, n: int, xp=jnp):
 
     js = np.arange(2, n + 3)
     rates = nC2(js) - 1  # (n+1,), first entry 0
-    ratesf = rates.astype(np.float64)[:, None]  # (R,1)
+    fdt = np.dtype(getattr(ada, "dtype", np.float64))
+    ratesf = rates.astype(fdt)[:, None]  # (R,1)
 
     Rm = Rr[:-1][None, :]
     ad = (ada * grid.dt)[None, :]  # (1,K) broadcast; huge on last piece
@@ -220,8 +224,9 @@ def tjj_above(a, grid: TimeGrid, n: int, xp=jnp):
 
     jjs = np.arange(2, n + 3)  # (JJ,) = n+1
     js = np.arange(2, n + 2)  # (J,) = n
-    l1 = nC2(jjs).astype(np.float64)[:, None, None]  # lam + 1, (JJ,1,1)
-    r = nC2(js).astype(np.float64)[None, :, None]  # (1,J,1)
+    fdt = np.dtype(getattr(ada, "dtype", np.float64))
+    l1 = nC2(jjs).astype(fdt)[:, None, None]  # lam + 1, (JJ,1,1)
+    r = nC2(js).astype(fdt)[None, :, None]  # (1,J,1)
 
     Rm = Rr[:-1][None, None, :]
     Rm1 = Rr[1:][None, None, :]

@@ -69,9 +69,9 @@ def _piece_expms(ada, rho, grid: TimeGrid):
     c_rho = rho * dt
     E = expm_recomb(c_rho, c_eta)  # (K,3,3)
     # terminal piece: everything is eventually absorbed -> rows (0,0,1)
-    absorbing = jnp.array([[0.0, 0.0, 1.0]] * 3)
+    absorbing = jnp.array([[0.0, 0.0, 1.0]] * 3, dtype=E.dtype)
     E = jnp.where(is_last[:, None, None], absorbing[None], E)
-    ident = jnp.eye(3)
+    ident = jnp.eye(3, dtype=E.dtype)
     return jnp.where(zero_piece[:, None, None], ident[None], E)
 
 
