@@ -71,7 +71,8 @@ from smcpp_tpu.inference.optimizer import SMCPPOptimizer
 class FakeAnalysis:
     def __init__(self): self.model = m; self._ims = {('pop1',): im}; self._theta = 1e-4; self._penalty = 0.0
     has_fast_batch = True
-    def Q_batch(self, ys=None, rhos=None): return im.Q_batch(ys=ys, rhos=rhos)
+    def Q_batch(self, ys=None, rhos=None, coarse=False):
+        return im.Q_batch(ys=ys, rhos=rhos, fast_ok=coarse)
     def Q_and_grad(self, y=None):
         return im.Q_and_grad(y=y)
     def Q(self, **kw): return im.Q(**kw)

@@ -162,8 +162,8 @@ def bench_c2(outdir, w=100, M=16):
         _penalty = 0.0
         has_fast_batch = True
 
-        def Q_batch(self, ys=None, rhos=None):
-            return im.Q_batch(ys=ys, rhos=rhos)
+        def Q_batch(self, ys=None, rhos=None, coarse=False):
+            return im.Q_batch(ys=ys, rhos=rhos, fast_ok=coarse)
 
         def Q_and_grad(self, y=None):
             return im.Q_and_grad(y=y)

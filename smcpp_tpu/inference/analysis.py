@@ -105,12 +105,12 @@ class BaseAnalysis:
             getattr(im, "supports_qbatch", False) for im in self._ims.values()
         )
 
-    def Q_batch(self, ys=None, rhos=None):
+    def Q_batch(self, ys=None, rhos=None, coarse=False):
         """Penalized Q at a batch of candidate y rows / rho values; one
         vmapped evaluation per manager (see manager.Q_batch)."""
         tot = None
         for im in self._ims.values():
-            v = im.Q_batch(ys=ys, rhos=rhos)
+            v = im.Q_batch(ys=ys, rhos=rhos, fast_ok=coarse)
             tot = v if tot is None else tot + v
         if self._penalty and ys is not None:
             tot = tot - self._penalty * self._reg_batch(np.asarray(ys))

@@ -513,18 +513,23 @@ class OnePopInferenceManager(_EagerQOps):
             f32, f64 = jnp.float32, jnp.float64
 
             def tensors32(y, theta, rho, alpha):
-                # spline eval stays f64 (tiny); the grid pipeline runs f32
-                a = svf(y).astype(f32)
-                theta = jnp.asarray(theta, f32)
-                rho = jnp.asarray(rho, f32)
-                alpha = jnp.asarray(alpha, f32)
-                pi = ratefunc.initial_distribution(a, grid32)
-                T = transition.transition_matrix(a, rho, grid32)
-                bl = csfs_mod.conditioned_sfs(a, grid32, n)
-                em = csfs_mod.incorporate_theta(bl, theta)
-                act = ratefunc.average_coal_times(a, grid32)
-                e2 = em_mod.e2_matrix(act, theta, alpha)
-                E = em_mod.emission_matrix(idx, em, e2)
+                # spline eval stays f64 (tiny); the grid pipeline runs f32.
+                # Matmul precision pinned to exact f32: the CSFS/emission
+                # contractions otherwise take bf16 MXU passes on TPU, whose
+                # ~1e-2 tensor noise measurably degraded EM convergence
+                # (sawtooth validation: ~390 LL-units-worse fixed points).
+                with jax.default_matmul_precision("highest"):
+                    a = svf(y).astype(f32)
+                    theta = jnp.asarray(theta, f32)
+                    rho = jnp.asarray(rho, f32)
+                    alpha = jnp.asarray(alpha, f32)
+                    pi = ratefunc.initial_distribution(a, grid32)
+                    T = transition.transition_matrix(a, rho, grid32)
+                    bl = csfs_mod.conditioned_sfs(a, grid32, n)
+                    em = csfs_mod.incorporate_theta(bl, theta)
+                    act = ratefunc.average_coal_times(a, grid32)
+                    e2 = em_mod.e2_matrix(act, theta, alpha)
+                    E = em_mod.emission_matrix(idx, em, e2)
                 return pi, T, E
 
             def q32(y, theta, rho, alpha, gamma0, xisum, gamma_sums):
@@ -537,26 +542,27 @@ class OnePopInferenceManager(_EagerQOps):
 
             def q_rho_batch32(y, theta, rhos, alpha, gamma0, xisum,
                               gamma_sums):
-                a = svf(y).astype(f32)
-                theta32 = jnp.asarray(theta, f32)
-                alpha32 = jnp.asarray(alpha, f32)
-                pi = ratefunc.initial_distribution(a, grid32)
-                bl = csfs_mod.conditioned_sfs(a, grid32, n)
-                em = csfs_mod.incorporate_theta(bl, theta32)
-                act = ratefunc.average_coal_times(a, grid32)
-                e2 = em_mod.e2_matrix(act, theta32, alpha32)
-                E = em_mod.emission_matrix(idx, em, e2)
-                base = jnp.dot(gamma0, jnp.log(pi).astype(f64)) + jnp.sum(
-                    gamma_sums * jnp.log(E).astype(f64)
-                )
-
-                def xi_term(rho):
-                    T = transition.transition_matrix(
-                        a, jnp.asarray(rho, f32), grid32
+                with jax.default_matmul_precision("highest"):
+                    a = svf(y).astype(f32)
+                    theta32 = jnp.asarray(theta, f32)
+                    alpha32 = jnp.asarray(alpha, f32)
+                    pi = ratefunc.initial_distribution(a, grid32)
+                    bl = csfs_mod.conditioned_sfs(a, grid32, n)
+                    em = csfs_mod.incorporate_theta(bl, theta32)
+                    act = ratefunc.average_coal_times(a, grid32)
+                    e2 = em_mod.e2_matrix(act, theta32, alpha32)
+                    E = em_mod.emission_matrix(idx, em, e2)
+                    base = jnp.dot(gamma0, jnp.log(pi).astype(f64)) + jnp.sum(
+                        gamma_sums * jnp.log(E).astype(f64)
                     )
-                    return jnp.sum(xisum * jnp.log(T).astype(f64))
 
-                return base + jax.vmap(xi_term)(rhos)
+                    def xi_term(rho):
+                        T = transition.transition_matrix(
+                            a, jnp.asarray(rho, f32), grid32
+                        )
+                        return jnp.sum(xisum * jnp.log(T).astype(f64))
+
+                    return base + jax.vmap(xi_term)(rhos)
 
             dev = self._device
             self._setup_cache[key] = (
@@ -683,7 +689,8 @@ class OnePopInferenceManager(_EagerQOps):
         "Fast vectorized Q is available (jitted setup path, not eager/joint)."
         return not getattr(self, "_joint", False)
 
-    def Q_batch(self, ys=None, rhos=None, theta=None, alpha=None):
+    def Q_batch(self, ys=None, rhos=None, theta=None, alpha=None,
+                fast_ok=False):
         """Q at a batch of candidate parameters in ONE vmapped evaluation.
 
         ``ys``: (B, K) candidate y rows (default: current y, tiled), and/or
@@ -698,7 +705,7 @@ class OnePopInferenceManager(_EagerQOps):
         # would materialize on the DEFAULT device (the remote TPU under
         # the tunnel) and every M-step call would pay a tunnel round trip
         # before the CPU-jitted program even runs
-        fast = self._use_fast_mstep()
+        fast = fast_ok and self._use_fast_mstep()
         y0, th, rho0, al, g0, xs, gs = self._q_args(
             None, theta, None, alpha, accel=fast
         )

@@ -108,10 +108,10 @@ class SMCPPOptimizer:
                 r = self._radius.get(coords[0], 3.0)
                 lo, hi = max(lo, x0[0] - r), min(hi, x0[0] + r)
 
-                def fb(xs):
+                def fb(xs, coarse=False):
                     ys = np.tile(y0, (len(xs), 1))
                     ys[:, coords[0]] = xs
-                    return a.Q_batch(ys=ys)
+                    return a.Q_batch(ys=ys, coarse=coarse)
 
                 x, _ = self._batched_argmax(fb, lo, hi, self._xtol)
                 if x is None:
@@ -161,17 +161,29 @@ class SMCPPOptimizer:
         best_x, best_v = None, -np.inf
         xs = vals = None
         B = self._BATCH
-        for _ in range(max_rounds):
+        for r in range(max_rounds):
             xs = np.linspace(lo, hi, B)
-            vals = np.asarray(f_batch(np.exp(xs) if log else xs), float)
+            # Round 0 may run on the accelerator's f32 objective: its wide
+            # grid's signal dwarfs the f32 noise, so it is used only to
+            # BRACKET the zoom window.  Zoom rounds and the refinement
+            # below always use the exact f64 host objective, and coarse
+            # values never enter best_v — mixing f32 and f64 values (or
+            # finishing a search at f32) measurably degraded EM fixed
+            # points (~400 LL units on the sawtooth validation).
+            coarse = r == 0
+            vals = np.asarray(
+                f_batch(np.exp(xs) if log else xs, coarse=coarse), float
+            )
             vals = np.where(np.isfinite(vals), vals, -np.inf)
             j = int(np.argmax(vals))
-            if vals[j] > best_v:
+            if not coarse and vals[j] > best_v:
                 best_v, best_x = float(vals[j]), xs[j]
             w = (hi - lo) / (B - 1)
             lo, hi = max(lo, xs[j] - w), min(hi, xs[j] + w)
-            if hi - lo <= 6.0 * xatol:
+            if not coarse and hi - lo <= 6.0 * xatol:
                 break
+            if coarse and not np.isfinite(vals[j]):
+                break  # every coarse candidate non-finite; nothing to zoom
             B = self._BATCH_ZOOM
         if best_x is None:  # every candidate non-finite; caller keeps x0
             return None, -np.inf
@@ -188,7 +200,10 @@ class SMCPPOptimizer:
                     if abs(xq - best_x) > 1e-12:
                         vq = float(
                             np.asarray(
-                                f_batch(np.exp([xq]) if log else np.array([xq])),
+                                f_batch(
+                                    np.exp([xq]) if log else np.array([xq]),
+                                    coarse=False,
+                                ),
                                 float,
                             )[0]
                         )
@@ -208,7 +223,7 @@ class SMCPPOptimizer:
             # sub-grid resolution on the smooth deterministic objective.
             lo = max(bounds[0], 1e-3 * bounds[1])
             x, _ = self._batched_argmax(
-                lambda xs: a.Q_split_batch(xs), lo, bounds[1],
+                lambda xs, coarse=False: a.Q_split_batch(xs), lo, bounds[1],
                 xatol=1e-4 * bounds[1],
             )
             if x is not None:
@@ -219,7 +234,8 @@ class SMCPPOptimizer:
             # geometric grid over the multi-decade rho range, one vmapped
             # Q per shrink round
             x, _ = self._batched_argmax(
-                lambda xs: a.Q_batch(rhos=xs), bounds[0], bounds[1],
+                lambda xs, coarse=False: a.Q_batch(rhos=xs, coarse=coarse),
+                bounds[0], bounds[1],
                 xatol=0.02, log=True,
             )
             if x is not None:
@@ -240,7 +256,8 @@ class SMCPPOptimizer:
         y0 = a.model.y.copy()
         if getattr(a, "has_fast_batch", False):
             x, _ = self._batched_argmax(
-                lambda xs: a.Q_batch(ys=y0[None, :] + xs[:, None]),
+                lambda xs, coarse=False: a.Q_batch(
+                    ys=y0[None, :] + xs[:, None], coarse=coarse),
                 -1.0, 1.0, self._xtol,
             )
             if x is not None:
