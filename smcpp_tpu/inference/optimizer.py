@@ -139,7 +139,10 @@ class SMCPPOptimizer:
 
     # -- batched scalar maximization: one vmapped Q per shrink round
     _BATCH = 24  # first-round grid width
-    _BATCH_ZOOM = 12  # later (zoomed) rounds: span already localized
+    # zoomed/confirmation rounds are ODD so the previous round's best point
+    # lies exactly on the new grid (its value re-measured in f64)
+    _BATCH_ZOOM = 13  # genuine zoom rounds: span still wide
+    _BATCH_CONFIRM = 5  # f64 confirmation when the coarse round converged
 
     def _batched_argmax(self, f_batch, lo, hi, xatol, log=False,
                         max_rounds=6):
@@ -184,7 +187,14 @@ class SMCPPOptimizer:
                 break
             if coarse and not np.isfinite(vals[j]):
                 break  # every coarse candidate non-finite; nothing to zoom
-            B = self._BATCH_ZOOM
+            # when the coarse round already localized the bracket, the
+            # mandatory f64 follow-up is a cheap confirmation grid (its
+            # count is what the host pays for); genuine zooms stay wide
+            B = (
+                self._BATCH_CONFIRM
+                if coarse and hi - lo <= 6.0 * xatol
+                else self._BATCH_ZOOM
+            )
         if best_x is None:  # every candidate non-finite; caller keeps x0
             return None, -np.inf
         if hi - lo > xatol:
