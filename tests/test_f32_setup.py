@@ -93,3 +93,44 @@ def test_fast_routing_gates():
         assert not im._use_fast_mstep()
     finally:
         del os.environ["SMCPP_TPU_FAST_MSTEP"]
+
+
+def test_batched_argmax_coarse_never_decides():
+    """The shrinking-grid search may bracket with a noisy 'coarse'
+    objective but must make every decision (best value, refinement,
+    termination) from exact evaluations: a +10-biased coarse round must
+    not leak into the returned optimum."""
+    from smcpp_tpu.inference.optimizer import SMCPPOptimizer
+
+    opt = SMCPPOptimizer.__new__(SMCPPOptimizer)
+    calls = {"coarse": 0, "exact": 0}
+
+    def f(xs, coarse=False):
+        xs = np.asarray(xs, float)
+        v = -((xs - 0.3) ** 2)
+        if coarse:
+            calls["coarse"] += 1
+            return v + 10.0  # inflated values; correct shape
+        calls["exact"] += 1
+        return v
+
+    x, val = opt._batched_argmax(f, -3.0, 3.0, xatol=1e-3)
+    assert abs(x - 0.3) < 1e-2
+    # the returned value must come from the exact objective (never the
+    # +10-shifted coarse one)
+    assert val <= 0.0 + 1e-12
+    assert calls["coarse"] == 1 and calls["exact"] >= 1
+
+
+def test_batched_argmax_exact_when_no_coarse_consumer():
+    "Callers that ignore the coarse flag (pure-f64 paths) still converge."
+    from smcpp_tpu.inference.optimizer import SMCPPOptimizer
+
+    opt = SMCPPOptimizer.__new__(SMCPPOptimizer)
+
+    def f(xs, coarse=False):
+        xs = np.asarray(xs, float)
+        return -np.abs(xs - 1.234) ** 1.5
+
+    x, _ = opt._batched_argmax(f, -3.0, 3.0, xatol=1e-3)
+    assert abs(x - 1.234) < 5e-3
