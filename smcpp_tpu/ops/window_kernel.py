@@ -18,11 +18,25 @@ typical data (which pays ~2 bit_length(max_span) M^3 per compressed row),
 but with ~50x better achieved FLOP/s.  Numerical control: every step floors
 at ~1e-35 and renormalizes each segment block to unit max, tracking log
 scales (cf. the reference's per-position normalization + 1e-10 alpha floor,
-hmm.cpp:86-94).  Gradients through the scan use a two-level remat
-(``RESCALE_EVERY``-sized checkpointed blocks), so backward memory is
-O(L_seg/RESCALE_EVERY * S * M^2) + recompute.
+hmm.cpp:86-94).
 
-E-step statistics use the same gradient identities as ops/hmm.py.
+E-step statistics, two ways:
+
+* ``estep_direct`` (production): classical two-pass Baum-Welch.  The
+  operator pass doubles as the forward sweep (and emits the per-window
+  emission stream), tiny contig-level scans over the (S, M, M) operators
+  produce per-segment boundary alpha/beta vectors, and two lockstep
+  sweeps with only (M, S) state accumulate xisum / per-key posterior
+  masses into f64 carries; cross-boundary transitions are added
+  vectorized afterwards.  Every normalizer is window-local
+  (Z = alpha . beta), so no global likelihood constant is threaded and
+  scale factors cancel exactly.  Replaces the reference's span_Qs
+  backward (src/hmm.cpp:97-153).
+* ``estep_windows`` (fallback, SMCPP_TPU_ESTEP=ad): the same statistics
+  as gradients of the forward log-likelihood via ``jax.value_and_grad``
+  (identities as in ops/hmm.py), with a two-level remat through the scan
+  (``RESCALE_EVERY``-sized checkpointed blocks).  ~4x slower on TPU: the
+  generic backward carries (M, S, M) cotangents.
 """
 
 from functools import partial
