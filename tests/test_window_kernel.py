@@ -213,3 +213,56 @@ def test_estep_direct_rare_keys_f32():
         np.testing.assert_allclose(
             np.asarray(d, np.float64), np.asarray(a), rtol=tol, atol=1e-8
         )
+
+
+def test_stats_pass_without_e_all():
+    """stats_pass's one-hot-rebuild fallback (e_all=None) must agree with
+    the emission-stream path to machine precision in f64."""
+    pi, T, E, data = make_problem(seed=3)
+    key_id = {(k,): k for k in range(E.shape[0])}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    Tj, Ej = jnp.asarray(T), jnp.asarray(E)
+    kj, vj = jnp.asarray(keys), jnp.asarray(valid)
+    ops, logs, e_all = wk.segment_operators(Tj, Ej, kj, vj, emit_e=True)
+    seg_has = jnp.any(vj, axis=1)
+    ll, A_in, Q_end, cvalid = wk.contig_boundaries(
+        jnp.asarray(pi), ops, logs, soc, seg_has
+    )
+    with_e = wk.stats_pass(Tj, Ej, kj, vj, A_in, Q_end, e_all)
+    without = wk.stats_pass(Tj, Ej, kj, vj, A_in, Q_end, None)
+    # alpha_end / xo / gsum are scale-free and must match exactly;
+    # u_start carries per-window emission scalings that differ between the
+    # paths but cancel in the boundary stats — checked below end-to-end
+    for i in (0, 2, 3):
+        np.testing.assert_allclose(
+            np.asarray(without[i], np.float64),
+            np.asarray(with_e[i], np.float64), rtol=1e-12, atol=1e-15,
+        )
+    outs = []
+    for ae, us, xo in (with_e[:3], without[:3]):
+        xob, pist = wk.boundary_stats(
+            jnp.asarray(pi), Tj, ae, us, jnp.asarray(xo, jnp.float64),
+            soc, cvalid,
+        )
+        outs.append((np.asarray(xob, np.float64), np.asarray(pist, np.float64)))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-12)
+    np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=1e-12)
+
+
+def test_estep_direct_many_keys_gather_path(monkeypatch):
+    "n_keys > ONEHOT_MAX_KEYS exercises the gather/scatter branch."
+    monkeypatch.setattr(wk, "ONEHOT_MAX_KEYS", 4)
+    pi, T, E, data = make_problem(seed=4)
+    key_id = {(k,): k for k in range(E.shape[0])}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    args = (
+        jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+        jnp.asarray(keys), jnp.asarray(valid), soc,
+    )
+    dr = wk.estep_direct(*args)
+    ad = wk.estep_windows(*args)
+    assert np.isclose(float(ad[0]), float(dr[0]), rtol=1e-12)
+    for a, d in zip(ad[1:], dr[1:]):
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(a), rtol=1e-11, atol=1e-14
+        )
