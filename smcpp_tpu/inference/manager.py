@@ -475,22 +475,33 @@ class OnePopInferenceManager(_EagerQOps):
             )
         return self._setup_cache[key]
 
+    # minimum tjj-tensor size (n+1)*n*K for the accelerator M-step: below
+    # this the f64 host evaluation is already ~ms-scale and the remote
+    # dispatch + one-time TPU compile cost more than they save (measured:
+    # the n=6 sawtooth ran *slower* with the fast path engaged)
+    FAST_MSTEP_MIN_WORK = 50_000
+
     def _use_fast_mstep(self):
         """True when the batched M-step objective should run as the f32
         program on the accelerator (`_setup_fast`) instead of f64 on the
         host CPU.  Requires a non-CPU E-step device (on CPU the f64 path
-        is both faster to compile and exact); SMCPP_TPU_FAST_MSTEP=0
-        forces the f64 host path."""
+        is both faster to compile and exact) and a large enough Q graph
+        to beat the dispatch/compile overhead; SMCPP_TPU_FAST_MSTEP=0
+        forces the f64 host path, =1force overrides the size gate."""
         import os
 
-        if os.environ.get("SMCPP_TPU_FAST_MSTEP", "1") == "0":
+        env = os.environ.get("SMCPP_TPU_FAST_MSTEP", "1")
+        if env == "0":
             return False
         if getattr(self, "_joint", False) or self._grid is None:
             return False
         try:
-            return self._device.platform != "cpu"
+            if self._device.platform == "cpu":
+                return False
         except AttributeError:
             return False
+        work = (self.n + 1) * max(self.n, 1) * self._grid.K
+        return env == "1force" or work >= self.FAST_MSTEP_MIN_WORK
 
     def _setup_fast(self):
         """f32 accelerator programs for the batched M-step objective.
