@@ -518,6 +518,11 @@ class OnePopInferenceManager(_EagerQOps):
         run in f64 (a ~2.5K-element emulated tail — negligible)."""
         key = ("fast", id(self._grid))
         if key not in self._setup_cache:
+            logger.debug(
+                "building accelerator f32 M-step programs "
+                "(K=%d pieces, n=%d, device=%s)",
+                self._grid.K, self.n, self._device,
+            )
             grid32 = self._grid.astype(np.float32)
             n, idx, model = self.n, self.em_idx, self.model
             svf = model.stepwise_values_fn
