@@ -358,27 +358,52 @@ class OnePopInferenceManager(_EagerQOps):
         # (ops/window_kernel.py:estep_direct).  SMCPP_TPU_ESTEP=ad restores
         # the gradient-identity path.
         use_ad = os.environ.get("SMCPP_TPU_ESTEP", "direct") == "ad"
+        if self._use_windows and not use_ad:
+            # memory-budget gate for the (L, M, S) emission stream (f32):
+            # rebuildable per step at ~25% slowdown when the stream would
+            # crowd device HBM on very large per-chip genomes
+            import os as _os
+
+            S, L = self._wkeys.shape
+            Mdim = len(self.hidden_states) - 1
+            need = S * L * Mdim * 4 / max(1, len(self._devices))
+            budget = float(
+                _os.environ.get("SMCPP_TPU_ESTREAM_BYTES", 6e9)
+            )
+            e_stream = need <= budget
+            if not e_stream:
+                logger.info(
+                    "emission stream (%.1f GB/device) over budget "
+                    "(%.1f GB); statistic sweeps will rebuild lookups "
+                    "per step", need / 1e9, budget / 1e9,
+                )
         if self._mesh is not None:
             from ..parallel import mesh as mesh_mod
 
             if self._use_windows:
-                make = (
-                    mesh_mod.make_sharded_window_estep
-                    if use_ad
-                    else mesh_mod.make_sharded_direct_estep
+                if use_ad:
+                    return mesh_mod.make_sharded_window_estep(
+                        self._mesh, self._soc, precision=p
+                    )
+                return mesh_mod.make_sharded_direct_estep(
+                    self._mesh, self._soc, precision=p, e_stream=e_stream
                 )
-                return make(self._mesh, self._soc, precision=p)
             return mesh_mod.make_sharded_estep(
                 self._mesh, nbits=self._nbits, chunk=self._chunk, precision=p
             )
         if self._use_windows:
             from ..ops import window_kernel as wk
 
-            fn = wk.estep_windows if use_ad else wk.estep_direct
-            return jax.jit(
-                partial(fn, seg_of_contig=self._soc, precision=p),
-                device=self._device,
-            )
+            if use_ad:
+                fn = partial(
+                    wk.estep_windows, seg_of_contig=self._soc, precision=p
+                )
+            else:
+                fn = partial(
+                    wk.estep_direct, seg_of_contig=self._soc, precision=p,
+                    e_stream=e_stream,
+                )
+            return jax.jit(fn, device=self._device)
         fn = partial(hmm_mod.estep, nbits=self._nbits, chunk=self._chunk)
         if p is not None:
             base = fn

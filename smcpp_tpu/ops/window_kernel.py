@@ -476,14 +476,23 @@ def boundary_stats(pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid):
     return xo, pi_stat
 
 
-def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None):
+def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
+                 e_stream=True):
     """Direct Baum-Welch E-step: same contract as ``estep_windows``
-    (ll, pi-stat, xisum, gamma_sums), computed without autodiff."""
+    (ll, pi-stat, xisum, gamma_sums), computed without autodiff.
+
+    ``e_stream=False`` skips materializing the (L, M, S) emission stream
+    (the sweeps rebuild lookups per step instead — ~25% slower, but
+    L*M*S*4 bytes less device memory; see the manager's budget gate)."""
     if precision is None:
         precision = MATMUL_PRECISION
-    ops, logs, e_all = segment_operators(
-        T, E, keys, valid, precision, emit_e=True
-    )
+    if e_stream:
+        ops, logs, e_all = segment_operators(
+            T, E, keys, valid, precision, emit_e=True
+        )
+    else:
+        ops, logs = segment_operators(T, E, keys, valid, precision)
+        e_all = None
     seg_has = jnp.any(valid, axis=1)
     ll, A_in, Q_end, cvalid = contig_boundaries(
         pi, ops, logs, seg_of_contig, seg_has

@@ -128,7 +128,8 @@ def pad_segments(keys, valid, n_devices):
     return keys, valid
 
 
-def make_sharded_direct_estep(mesh, seg_of_contig, precision=None):
+def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
+                              e_stream=True):
     """Segment-sharded direct (AD-free) window E-step.
 
     Same contract as ``make_sharded_window_estep`` but built from the
@@ -136,36 +137,46 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None):
     segment-operator pass and the lockstep alpha/beta statistic sweeps run
     shard_map'd over the segment axis with xisum/gamma_sums psum'd across
     the mesh; the tiny contig-level boundary scans and cross-boundary
-    statistics run replicated."""
+    statistics run replicated.  ``e_stream=False`` skips the (L, M, S)
+    emission stream (memory-budget fallback, see estep_direct)."""
     from ..ops import window_kernel as wk
 
+    op_out = (P("data", None, None), P("data"))
+    if e_stream:
+        op_out = op_out + (P(None, None, "data"),)
     op_local = jax.shard_map(
-        partial(wk.segment_operators, precision=precision, emit_e=True),
+        partial(wk.segment_operators, precision=precision,
+                emit_e=e_stream),
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None)),
-        out_specs=(P("data", None, None), P("data"),
-                   P(None, None, "data")),
+        out_specs=op_out,
         check_vma=False,
     )
+    stats_in = (P(), P(), P("data", None), P("data", None),
+                P("data", None), P("data", None))
+    if e_stream:
+        stats_in = stats_in + (P(None, None, "data"),)
     stats_local = jax.shard_map(
         partial(wk.stats_pass, precision=precision, axis_name="data"),
         mesh=mesh,
-        in_specs=(P(), P(), P("data", None), P("data", None),
-                  P("data", None), P("data", None),
-                  P(None, None, "data")),
+        in_specs=stats_in,
         out_specs=(P("data", None), P("data", None), P(), P()),
         check_vma=False,
     )
 
     def estep(pi, T, E, keys, valid):
-        ops, logs, e_all = op_local(T, E, keys, valid)
+        if e_stream:
+            ops, logs, e_all = op_local(T, E, keys, valid)
+        else:
+            ops, logs = op_local(T, E, keys, valid)
         seg_has = jnp.any(valid, axis=1)
         ll, A_in, Q_end, cvalid = wk.contig_boundaries(
             pi, ops, logs, seg_of_contig, seg_has
         )
-        alpha_end, u_start, xo, gsum = stats_local(
-            T, E, keys, valid, A_in, Q_end, e_all
-        )
+        args = (T, E, keys, valid, A_in, Q_end)
+        if e_stream:
+            args = args + (e_all,)
+        alpha_end, u_start, xo, gsum = stats_local(*args)
         xo, pi_stat = wk.boundary_stats(
             pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid
         )

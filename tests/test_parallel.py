@@ -198,3 +198,35 @@ def test_sharded_direct_estep():
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(g1), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(out[2]), np.asarray(x1), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(out[3]), np.asarray(gs1), rtol=1e-8)
+
+
+def test_sharded_direct_estep_no_stream():
+    "Sharded direct E-step with the emission-stream fallback disabled."
+    from smcpp_tpu.ops import window_kernel as wk
+
+    rng = np.random.RandomState(5)
+    nk, M = 6, 4
+    data = [
+        np.c_[rng.randint(1, 10, 30), rng.randint(0, nk, 30)].astype(np.int64)
+        for _ in range(3)
+    ]
+    key_id = {(k,): k for k in range(nk)}
+    pi = jnp.asarray(rng.dirichlet(np.ones(M)))
+    T = jnp.asarray(rng.dirichlet(np.ones(M), size=M))
+    E = jnp.asarray(rng.uniform(0.1, 1.0, (nk, M)))
+    mesh = mesh_mod.make_mesh(jax.devices()[:8])
+    kk, vv, soc = wk.pack_windows(data, key_id, seg_target=16)
+    keys, valid = mesh_mod.pad_segments(kk, vv, mesh.devices.size)
+    estep = mesh_mod.make_sharded_direct_estep(mesh, soc, e_stream=False)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data", None))
+    out = estep(
+        pi, T, E,
+        jax.device_put(jnp.asarray(keys), sh),
+        jax.device_put(jnp.asarray(valid), sh),
+    )
+    ref = wk.estep_direct(pi, T, E, jnp.asarray(kk), jnp.asarray(vv), soc)
+    assert np.isclose(float(out[0]), float(ref[0]), rtol=1e-10)
+    for a, b in zip(out[1:], ref[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)

@@ -266,3 +266,21 @@ def test_estep_direct_many_keys_gather_path(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(d), np.asarray(a), rtol=1e-11, atol=1e-14
         )
+
+
+def test_estep_direct_no_stream():
+    "The e_stream=False memory fallback must be exactly equivalent."
+    pi, T, E, data = make_problem(seed=6)
+    key_id = {(k,): k for k in range(E.shape[0])}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    args = (
+        jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+        jnp.asarray(keys), jnp.asarray(valid), soc,
+    )
+    a = wk.estep_direct(*args)
+    b = wk.estep_direct(*args, e_stream=False)
+    assert np.isclose(float(a[0]), float(b[0]), rtol=1e-13)
+    for x, y in zip(a[1:], b[1:]):
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=1e-12, atol=1e-15
+        )
