@@ -11,11 +11,32 @@ through the rate function, transition matrix and conditioned-SFS emissions.
 Reference behavior: popgenmethods/smcpp (see SURVEY.md for the layer map).
 """
 
+import os as _os
+
 from jax import config as _config
 
 # Double precision for all model-dependent setup math (rate function,
 # transition, CSFS, M-step).  The E-step hot path casts to float32 explicitly
 # (matching the reference's float32 forward pass, /root/reference/include/hmm.h:35).
 _config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: an `estimate` run compiles several large
+# programs (E-step kernels 20-90 s on TPU, the M-step Q family); caching
+# them on disk makes repeat runs (CV folds, re-fits, the two-stage
+# pipeline across runs) start in seconds.  Opt out with
+# SMCPP_TPU_COMPILE_CACHE=0 or point it elsewhere with =<dir>.
+_cache = _os.environ.get("SMCPP_TPU_COMPILE_CACHE", "1")
+if _cache != "0":
+    if _cache == "1":
+        _cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "smcpp_tpu", "jax_cache"
+        )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _config.update("jax_compilation_cache_dir", _cache)
+        _config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except (OSError, AttributeError):  # read-only FS / older jax
+        pass
 
 from .version import __version__  # noqa: E402,F401
