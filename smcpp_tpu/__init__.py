@@ -21,11 +21,16 @@ from jax import config as _config
 _config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: an `estimate` run compiles several large
-# programs (E-step kernels 20-90 s on TPU, the M-step Q family); caching
-# them on disk makes repeat runs (CV folds, re-fits, the two-stage
-# pipeline across runs) start in seconds.  Opt out with
-# SMCPP_TPU_COMPILE_CACHE=0 or point it elsewhere with =<dir>.
-_cache = _os.environ.get("SMCPP_TPU_COMPILE_CACHE", "1")
+# programs (E-step kernels, the M-step Q family); caching them on disk
+# makes repeat runs (CV folds, re-fits, parameter sweeps) start in
+# seconds (measured 33.5 -> 18.1 s on the bundled example).  Enabled by
+# default on CPU backends only — remote-compile TPU plugins may not
+# support executable serialization, and that path is unverified; set
+# SMCPP_TPU_COMPILE_CACHE=<dir> (or =1) to force it on, =0 to disable.
+_cache = _os.environ.get("SMCPP_TPU_COMPILE_CACHE")
+if _cache is None:
+    _plat = _os.environ.get("JAX_PLATFORMS", "")
+    _cache = "1" if _plat.split(",")[0] in ("cpu", "") else "0"
 if _cache != "0":
     if _cache == "1":
         _cache = _os.path.join(
