@@ -83,7 +83,9 @@ class FakeAnalysis:
 fa = FakeAnalysis()
 opt = SMCPPOptimizer(fa, single=True, learn_rho=True)
 t0 = time.time(); opt.run(1); print('full EM iteration (compile)', time.time()-t0, file=log)
-for it in (2, 3):
+# iteration #2 pays the one-time compile of the 192-wide coarse-prefetch
+# program (optimizer._prefetch_coarse); #3/#4 are steady state
+for it in (2, 3, 4):
     opt._old_loglik = None   # disarm the ftol monitor: measure a full iteration
     t0 = time.time(); opt.run(1)
     print(f'full EM iteration #{it}', time.time()-t0, file=log)

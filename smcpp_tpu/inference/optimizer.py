@@ -61,7 +61,54 @@ class SMCPPOptimizer:
             return np.inf, np.zeros(len(coords))
         return -q, -grad[coords]
 
-    def _minimize(self, x0, coords):
+    def _scalar_window(self, k, x0):
+        """Search window for a single-knot scalar search: the +-3 hard
+        bounds clipped to the per-coordinate trust radius (see _minimize)."""
+        lo = max(x0 - 3.0, np.log(defaults.minimum))
+        hi = min(x0 + 3.0, np.log(defaults.maximum))
+        r = self._radius.get(k, 3.0)
+        return max(lo, x0 - r), min(hi, x0 + r)
+
+    def _prefetch_coarse(self):
+        """Evaluate the coarse bracketing grids of ALL knot coordinates in
+        ONE batched (accelerator) Q call, Jacobi-style: every grid is built
+        around the iteration-start model.
+
+        Rationale: each coordinate's coarse round is a separate accelerator
+        dispatch whose latency is dominated by the device round trip (~30 ms
+        through the TPU tunnel), and its search window [x0-r, x0+r] depends
+        only on that coordinate's own value — never on the other
+        coordinates' pending updates.  Only the Q *values* see a stale
+        context, and the coarse round's sole job is to bracket the zoom
+        window; every decision value is still the exact f64 host objective.
+        _batched_argmax rejects a prefetched bracket whose argmax sits on a
+        grid edge (the cheap symptom of stale-context drift) and redoes the
+        coarse round fresh at the true context.  Gated to coordinates with a
+        trust radius from a previous iteration (first-iteration moves are
+        large, so couplings could mislead the bracket)."""
+        a = self._analysis
+        if not (self._single and getattr(a, "has_fast_batch", False)):
+            return {}
+        y0 = a.model.y.copy()
+        ks = [c[0] for c in self._coordinates() if c[0] in self._radius]
+        if not ks:
+            return {}
+        B = self._BATCH
+        grids, rows = {}, []
+        for k in ks:
+            lo, hi = self._scalar_window(k, y0[k])
+            xs = np.linspace(lo, hi, B)
+            ys = np.tile(y0, (B, 1))
+            ys[:, k] = xs
+            grids[k] = xs
+            rows.append(ys)
+        vals = np.asarray(a.Q_batch(ys=np.concatenate(rows), coarse=True),
+                          float)
+        return {
+            k: (grids[k], vals[i * B:(i + 1) * B]) for i, k in enumerate(ks)
+        }
+
+    def _minimize(self, x0, coords, coarse0=None):
         bounds = np.transpose(
             [
                 np.maximum(x0 - 3.0, np.log(defaults.minimum)),
@@ -105,15 +152,15 @@ class SMCPPOptimizer:
                 # move instead of the full +-3 window (the window is
                 # re-centered every iteration, so a clamped move simply
                 # grows the radius back next time)
-                r = self._radius.get(coords[0], 3.0)
-                lo, hi = max(lo, x0[0] - r), min(hi, x0[0] + r)
+                lo, hi = self._scalar_window(coords[0], x0[0])
 
                 def fb(xs, coarse=False):
                     ys = np.tile(y0, (len(xs), 1))
                     ys[:, coords[0]] = xs
                     return a.Q_batch(ys=ys, coarse=coarse)
 
-                x, _ = self._batched_argmax(fb, lo, hi, self._xtol)
+                x, _ = self._batched_argmax(fb, lo, hi, self._xtol,
+                                            coarse0=coarse0)
                 if x is None:
                     x = x0[0]
                 self._radius[coords[0]] = min(
@@ -145,7 +192,7 @@ class SMCPPOptimizer:
     _BATCH_CONFIRM = 5  # f64 confirmation when the coarse round converged
 
     def _batched_argmax(self, f_batch, lo, hi, xatol, log=False,
-                        max_rounds=6):
+                        max_rounds=6, coarse0=None):
         """Maximize a scalar objective by shrinking-grid search.
 
         Each round evaluates a B-point grid with ONE batched Q call
@@ -164,7 +211,27 @@ class SMCPPOptimizer:
         best_x, best_v = None, -np.inf
         xs = vals = None
         B = self._BATCH
-        for r in range(max_rounds):
+        start = 0
+        if coarse0 is not None and not log:
+            # prefetched coarse bracket (see _prefetch_coarse): accept it in
+            # place of the round-0 dispatch unless its argmax sits on a grid
+            # edge — the detectable symptom of stale-context drift (an
+            # interior bracket whose values merely shifted still contains
+            # the optimum of the true context to within one grid spacing,
+            # which is all a coarse round ever guarantees)
+            xs0, v0 = coarse0
+            v0 = np.where(np.isfinite(v0), v0, -np.inf)
+            j = int(np.argmax(v0))
+            if 0 < j < len(xs0) - 1 and np.isfinite(v0[j]):
+                w = xs0[1] - xs0[0]
+                lo, hi = max(lo, xs0[j] - w), min(hi, xs0[j] + w)
+                B = (
+                    self._BATCH_CONFIRM
+                    if hi - lo <= 6.0 * xatol
+                    else self._BATCH_ZOOM
+                )
+                start = 1
+        for r in range(start, max_rounds):
             xs = np.linspace(lo, hi, B)
             # Round 0 may run on the accelerator's f32 objective: its wide
             # grid's signal dwarfs the f32 noise, so it is used only to
@@ -339,9 +406,12 @@ class SMCPPOptimizer:
                     th = self._analysis._theta
                     self._optimize_param("rho", (th / 100, th * 100))
                 self._optimize_scale()
+                prefetch = self._prefetch_coarse()
                 for coords in self._coordinates():
                     x0 = self._analysis.model.y[coords]
-                    res = self._minimize(x0, coords)
+                    res = self._minimize(
+                        x0, coords, coarse0=prefetch.get(coords[0])
+                    )
                     self._analysis.model.y[coords] = res.x
                 if logger.isEnabledFor(logging.DEBUG):
                     logger.debug(

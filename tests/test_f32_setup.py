@@ -134,3 +134,82 @@ def test_batched_argmax_exact_when_no_coarse_consumer():
 
     x, _ = opt._batched_argmax(f, -3.0, 3.0, xatol=1e-3)
     assert abs(x - 1.234) < 5e-3
+
+
+def test_batched_argmax_prefetched_bracket():
+    """A prefetched coarse bracket (Jacobi prefetch, _prefetch_coarse)
+    replaces the round-0 dispatch: no coarse evaluation is issued, the
+    optimum is found, and the returned value still comes from exact
+    evaluations only."""
+    from smcpp_tpu.inference.optimizer import SMCPPOptimizer
+
+    opt = SMCPPOptimizer.__new__(SMCPPOptimizer)
+    calls = {"coarse": 0, "exact": 0}
+
+    def f(xs, coarse=False):
+        xs = np.asarray(xs, float)
+        calls["coarse" if coarse else "exact"] += 1
+        return -((xs - 0.3) ** 2) + (10.0 if coarse else 0.0)
+
+    xs0 = np.linspace(-3.0, 3.0, opt._BATCH)
+    # stale-context values: shifted but with an interior argmax near the
+    # true optimum (coarse values only ever bracket)
+    v0 = -((xs0 - 0.35) ** 2) + 7.0
+    x, val = opt._batched_argmax(f, -3.0, 3.0, xatol=1e-3, coarse0=(xs0, v0))
+    assert abs(x - 0.3) < 1e-2
+    assert val <= 1e-12
+    assert calls["coarse"] == 0 and calls["exact"] >= 1
+
+
+def test_batched_argmax_prefetch_edge_rejected():
+    "An edge-argmax prefetched bracket is rejected: fresh coarse round runs."
+    from smcpp_tpu.inference.optimizer import SMCPPOptimizer
+
+    opt = SMCPPOptimizer.__new__(SMCPPOptimizer)
+    calls = {"coarse": 0}
+
+    def f(xs, coarse=False):
+        xs = np.asarray(xs, float)
+        if coarse:
+            calls["coarse"] += 1
+        return -((xs - 0.3) ** 2)
+
+    xs0 = np.linspace(-3.0, 3.0, opt._BATCH)
+    v0 = xs0.copy()  # argmax at the right edge -> stale-context suspicion
+    x, _ = opt._batched_argmax(f, -3.0, 3.0, xatol=1e-3, coarse0=(xs0, v0))
+    assert calls["coarse"] == 1
+    assert abs(x - 0.3) < 1e-2
+
+
+def test_prefetch_coarse_grids_match_scalar_windows():
+    """_prefetch_coarse builds, per coordinate with a trust radius, exactly
+    the grid the scalar search would evaluate in its round 0, in ONE
+    batched Q call."""
+    from smcpp_tpu.inference.optimizer import SMCPPOptimizer
+
+    class M:
+        K = 3
+        y = np.array([0.1, -0.2, 0.4])
+
+    class A:
+        model = M()
+        has_fast_batch = True
+
+        def __init__(self):
+            self.calls = []
+
+        def Q_batch(self, ys=None, rhos=None, coarse=False):
+            self.calls.append((np.asarray(ys).shape, coarse))
+            return -np.sum((np.asarray(ys) - 0.25) ** 2, axis=1)
+
+    a = A()
+    opt = SMCPPOptimizer(a, single=True)
+    opt._radius = {0: 0.5, 2: 1.0}  # coordinate 1 untouched so far
+    pf = opt._prefetch_coarse()
+    assert set(pf) == {0, 2}
+    assert a.calls == [((2 * opt._BATCH, 3), True)]
+    for k in (0, 2):
+        lo, hi = opt._scalar_window(k, M.y[k])
+        xs, vals = pf[k]
+        np.testing.assert_allclose(xs, np.linspace(lo, hi, opt._BATCH))
+        assert len(vals) == opt._BATCH
