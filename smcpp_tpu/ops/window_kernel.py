@@ -68,6 +68,14 @@ MATMUL_PRECISION = os.environ.get("SMCPP_TPU_MATMUL_PRECISION", "default")
 # storage.  Set SMCPP_TPU_CARRY to 'float32'/'bfloat16' to pin.
 CARRY = os.environ.get("SMCPP_TPU_CARRY", "auto")
 
+# lax.scan unroll factor for the per-window loops (the operator pass's
+# inner block scan and both statistic sweeps).  Each lockstep step does
+# only a handful of small (M, S)-shaped ops, so fixed per-step scan
+# overhead (loop bookkeeping, fusion boundaries) is a real fraction of
+# step time at L ~ 16k windows; unrolling fuses UNROLL steps per loop
+# iteration.  Set SMCPP_TPU_UNROLL=1 to disable.
+UNROLL = int(os.environ.get("SMCPP_TPU_UNROLL", "8"))
+
 
 def _carry_dtype(precision, base_dtype):
     if base_dtype != jnp.float32:
@@ -134,7 +142,10 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision,
         # measurably perturbs EM fits; the extra f32 traffic costs ~3%.
         return (X, logs), (eT if emit_e else None)
 
-    (X, logs), e_blk = jax.lax.scan(step, (X, logs), (keys_blk, valid_blk))
+    (X, logs), e_blk = jax.lax.scan(
+        step, (X, logs), (keys_blk, valid_blk),
+        unroll=min(UNROLL, RESCALE_EVERY),
+    )
     Xf = X.astype(E.dtype)
     m = jnp.maximum(jnp.max(jnp.abs(Xf), axis=(0, 2)), tiny)  # (S,)
     return (Xf / m[None, :, None]).astype(cdt), logs + jnp.log(m), e_blk
@@ -390,6 +401,7 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
     alpha_end_T, alphas = jax.lax.scan(
         asc, A_in.T.astype(dt),
         (keysT if e_all is None else e_all, validT),
+        unroll=UNROLL,
     )
 
     def dsc(carry, xs):
@@ -436,11 +448,13 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
             return dsc(carry, (a_l, None, k, v, vn))
 
         (_, u_start_T, xo, gsum), _ = jax.lax.scan(
-            dsc_noe, init, (alphas, keysT, validT, vnextT), reverse=True
+            dsc_noe, init, (alphas, keysT, validT, vnextT), reverse=True,
+            unroll=UNROLL,
         )
     else:
         (_, u_start_T, xo, gsum), _ = jax.lax.scan(
-            dsc, init, (alphas, e_all, keysT, validT, vnextT), reverse=True
+            dsc, init, (alphas, e_all, keysT, validT, vnextT), reverse=True,
+            unroll=UNROLL,
         )
     if axis_name is not None:
         xo = jax.lax.psum(xo, axis_name)
