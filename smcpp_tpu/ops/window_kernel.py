@@ -191,7 +191,8 @@ def segment_operators(T, E, keys, valid, precision=None, emit_e=False):
         return (X, logs), e_blk
 
     (X, logs), e_all = jax.lax.scan(
-        outer, (X0, jnp.zeros(S, T.dtype)), (keys_b, valid_b)
+        outer, (X0, jnp.zeros(S, T.dtype)), (keys_b, valid_b),
+        unroll=int(os.environ.get("SMCPP_TPU_UNROLL_OUTER", "1")),
     )
     # X[i, s, k] = (product of step operators applied to basis vector k)_i,
     # so ops[s][i, k] = X[i, s, k] maps alpha_in -> alpha_out directly.
