@@ -25,16 +25,23 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 def compress_repeated_obs(dataset):
-    "Merge adjacent rows with identical observations (estimation_tools.py:51-60)."
-    dataset = np.asarray(dataset)
-    nonce = np.zeros_like(dataset[0])
-    nonce[:2] = [1, -999]
-    d = np.r_[[nonce], dataset, [nonce]]
-    nonreps = np.any(d[1:, 1:] != d[:-1, 1:], axis=1)
-    newob = d[1:][nonreps]
-    csw = np.cumsum(d[:, 0])[np.where(nonreps)]
-    newob[:-1, 0] = csw[1:] - csw[:-1]
-    return newob[:-1]
+    """Run-length re-encode: merge consecutive rows whose observation
+    columns agree, summing their spans (cf. estimation_tools.py:51-60).
+
+    Each run is identified by the index of its first row; the merged span
+    is the difference of the cumulative-span totals at run boundaries.
+    """
+    rows = np.asarray(dataset)
+    if len(rows) == 0:
+        return rows
+    is_run_start = np.ones(len(rows), dtype=bool)
+    is_run_start[1:] = (rows[1:, 1:] != rows[:-1, 1:]).any(axis=1)
+    starts = np.flatnonzero(is_run_start)
+    total = np.cumsum(rows[:, 0])
+    run_totals = np.append(total[starts[1:] - 1], total[-1])
+    out = rows[starts].copy()
+    out[:, 0] = np.diff(run_totals, prepend=0)
+    return out
 
 
 def thin_data(data, thinning, offset=0):
@@ -206,56 +213,62 @@ def windowed_mutation_counts(contig, w):
 
 
 def recode_nonseg(contig, cutoff):
-    "Convert long homozygous runs to missing (estimation_tools.py:88-114)."
-    warn_only = cutoff is None
-    c = 50000 if cutoff is None else cutoff
+    """Mark implausibly long homozygous-ancestral runs as missing data.
+
+    A row is suspect when its span exceeds the cutoff and every population
+    reports zero derived alleles in both the distinguished pair and the
+    undistinguished sample.  With ``cutoff=None`` the row is left intact and
+    a warning is logged (threshold 50 kb).  Same semantics as the
+    reference's recode step (estimation_tools.py:88-114).
+    """
+    threshold = 50000 if cutoff is None else cutoff
     d = contig.data
-    runs = (
-        (d[:, 0] > c)
-        & np.all(d[:, 1::3] == 0, axis=1)
-        & np.all(d[:, 2::3] == 0, axis=1)
-    )
-    if np.any(runs):
-        if warn_only:
+    ancestral_pair = (d[:, 1::3] == 0).all(axis=1)
+    no_derived = (d[:, 2::3] == 0).all(axis=1)
+    suspect = (d[:, 0] > threshold) & ancestral_pair & no_derived
+    if suspect.any():
+        if cutoff is None:
             logger.warning(
-                "Long runs of homozygosity in contig %s: %s bp",
+                "Contig %s contains long homozygous runs (%s bp); consider "
+                "masking (vcf2smc -m) or enabling the recode cutoff.",
                 contig.fn,
-                d[runs, 0],
+                d[suspect, 0].tolist(),
             )
         else:
-            d[runs, 1::3] = -1
-            d[runs, 3::3] = 0
+            d[suspect, 1::3] = -1
+            d[suspect, 3::3] = 0
     return contig
 
 
 def break_long_spans(contig, span_cutoff):
-    "Split contigs at long missing runs (estimation_tools.py:117-167)."
-    contig_list = []
-    obs = contig.data
-    miss = np.zeros_like(obs[0])
-    miss[0] = 1
-    miss[1::3] = -1
-    long_spans = np.where(
-        (obs[:, 0] >= span_cutoff)
-        & np.all(obs[:, 1::3] == -1, axis=1)
-        & np.all(obs[:, 3::3] == 0, axis=1)
-    )[0]
-    cob = 0
-    for x in long_spans.tolist() + [None]:
-        seg = obs[cob:x]
-        if seg.size:
-            contig_list.append(
+    """Split a contig wherever a fully-missing run of >= span_cutoff bp
+    occurs, dropping the run itself.  Each resulting fragment is prefixed
+    with a single missing site so the HMM restarts every fragment from the
+    stationary distribution.  (Reference: estimation_tools.py:117-167.)
+    """
+    d = contig.data
+    fully_missing = (d[:, 1::3] == -1).all(axis=1) & (d[:, 3::3] == 0).all(
+        axis=1
+    )
+    breaks = np.flatnonzero(fully_missing & (d[:, 0] >= span_cutoff))
+    lead = np.zeros((1, d.shape[1]), dtype=d.dtype)
+    lead[0, 0] = 1
+    lead[0, 1::3] = -1
+    fragments = []
+    starts = np.concatenate([[0], breaks + 1])
+    stops = np.concatenate([breaks, [len(d)]])
+    for lo, hi in zip(starts, stops):
+        if hi > lo:
+            fragments.append(
                 Contig(
-                    data=np.insert(seg, 0, miss, 0),
+                    data=np.vstack([lead, d[lo:hi]]),
                     pid=contig.pid,
                     fn=contig.fn,
                     n=contig.n,
                     a=contig.a,
                 )
             )
-        if x is not None:
-            cob = x + 1
-    return contig_list
+    return fragments
 
 
 # ---------------------------------------------------------------------------

@@ -19,36 +19,42 @@ def optional_gzip(fn, mode):
     return gzip.open(fn, mode) if str(fn).endswith(".gz") else open(fn, mode)
 
 
-class RepeatingWriter:
-    "Run-length-merging row writer (reference smcpp/util.py)."
+class RunLengthWriter:
+    """Stream rows to a text file, coalescing consecutive rows that share
+    the same observation columns into a single summed span.  O(1) memory,
+    for the record-by-record vcf2smc path.  Produces the same run-length
+    output format as the reference (smcpp/util.py run-length writer)."""
 
-    def __init__(self, f):
-        self.f = f
-        self.last_ob = None
-        self.i = 0
+    def __init__(self, fileobj):
+        self._file = fileobj
+        self._span = 0
+        self._key = None
+        self.rows_written = 0
 
-    def write(self, ob):
-        if self.last_ob is None:
-            self.last_ob = list(ob)
-            return
-        if ob[1:] == self.last_ob[1:]:
-            self.last_ob[0] += ob[0]
+    def write(self, row):
+        span, key = int(row[0]), tuple(row[1:])
+        if key == self._key:
+            self._span += span
         else:
-            self._write_last()
-            self.last_ob = list(ob)
+            self._emit()
+            self._span, self._key = span, key
 
-    def _write_last(self):
-        if self.last_ob[0] > 0:
-            self.f.write(" ".join(map(str, self.last_ob)) + "\n")
-            self.i += 1
+    def _emit(self):
+        if self._key is not None and self._span > 0:
+            print(self._span, *self._key, file=self._file)
+            self.rows_written += 1
+        self._span, self._key = 0, None
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *args):
-        if self.last_ob is not None:
-            self._write_last()
+    def __exit__(self, *exc):
+        self._emit()
         return False
+
+
+# historical alias
+RepeatingWriter = RunLengthWriter
 
 
 def write_contig(fn, data, pids, dist, undist, version="tpu-0.1.0"):
@@ -60,7 +66,7 @@ def write_contig(fn, data, pids, dist, undist, version="tpu-0.1.0"):
             out,
         )
         out.write("\n")
-        with RepeatingWriter(out) as rw:
+        with RunLengthWriter(out) as rw:
             for row in np.asarray(data):
                 rw.write([int(x) for x in row])
 

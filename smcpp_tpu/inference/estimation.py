@@ -12,21 +12,17 @@ from ..ops.ratefunc import HostRateFunction
 def balance_hidden_states(model, M):
     """Break points [0, b_1, ..., b_{M-1}, inf) with equal coalescent mass
     under the model.  Returned in coalescent units (the reference returns
-    generations and every caller divides by 2 N0 again)."""
+    generations and every caller divides by 2 N0 again).
+
+    The coalescent survival function is exp(-R(t)) with R piecewise linear,
+    so the equal-mass quantiles come in closed form from R's exact inverse —
+    no iterative root finding (the reference brackets + brentqs each one,
+    estimation_tools.py:170-197)."""
     eta = HostRateFunction(model.stepwise_values(), model.s)
-    Mm = M - 1
-    ret = [0.0]
-    for m in range(1, Mm):
-
-        def f(t):
-            return np.exp(-eta.R(t)) - 1.0 * (Mm - m) / Mm
-
-        a = b = ret[-1]
-        while f(a) * f(b) >= 0:
-            b = 2 * (b + 1)
-        ret.append(scipy.optimize.brentq(f, a, b))
-    ret.append(np.inf)
-    return np.array(ret)
+    pieces = M - 1
+    survival = (pieces - np.arange(1, pieces)) / pieces
+    interior = np.atleast_1d(eta.Rinv(-np.log(survival)))
+    return np.concatenate([[0.0], interior, [np.inf]])
 
 
 def calculate_t1(model, n, q):

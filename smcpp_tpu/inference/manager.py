@@ -104,6 +104,11 @@ def pack_observations(data_list, key_id, chunk, max_span=None):
     Rows with span == 0 / key 0 are padding (exact no-ops in the kernel).
     Spans wider than ``max_span`` (cost-model-chosen by default) are split
     into multiple rows to bound the binary-exponentiation depth.
+
+    Returns (spans, keys, reps) where ``reps`` is a list of per-contig
+    int arrays giving the number of packed sub-rows each ORIGINAL input
+    row became — decode outputs (posterior gammas, Viterbi paths) must be
+    re-aggregated through it to line back up with the caller's rows.
     """
     raw = []
     for d in data_list:
@@ -112,11 +117,12 @@ def pack_observations(data_list, key_id, chunk, max_span=None):
         raw.append((s, k))
     if max_span is None:
         max_span = _best_max_span([s for s, _ in raw])
-    spans_l, keys_l = [], []
+    spans_l, keys_l, reps_l = [], [], []
     for s, k in raw:
         s2, k2 = _split_spans(s, k, max_span)
         spans_l.append(s2.astype(np.int32))
         keys_l.append(k2)
+        reps_l.append(np.maximum(1, -(-s // max_span)).astype(np.int64))
     C = len(spans_l)
     Lmax = max(len(s) for s in spans_l)
     Lmax = -(-Lmax // chunk) * chunk
@@ -125,7 +131,7 @@ def pack_observations(data_list, key_id, chunk, max_span=None):
     for i, (s, k) in enumerate(zip(spans_l, keys_l)):
         spans[i, : len(s)] = s
         keys[i, : len(k)] = k
-    return spans, keys
+    return spans, keys, reps_l
 
 
 class _EagerQOps:
@@ -230,23 +236,88 @@ class _EagerQOps:
         )
         return self._precision
 
-    def map_paths(self):
-        """Row-resolution MAP (Viterbi) hidden-state paths, one (L,) int32
-        array per contig (ops/hmm.py:viterbi_path).  Runs float64 on the
-        CPU backend — Viterbi scores reach ~-1e5, past float32 ranking
-        resolution."""
-        pi, T, E = self.tensors()
-        fn = jax.jit(
-            partial(hmm_mod.viterbi_path, nbits=self._nbits),
-            device=self._cpu,
+    def _compute_gammas(self, pi_d, T_d, E_d):
+        """Posterior masses per ORIGINAL input row, one (L_i, M) f64 array
+        per contig, in ONE batched device program
+        (ops/hmm.py:decode_gammas) — mesh-sharded over the contig axis when
+        a mesh is present.  Replaces the per-contig span-kernel dispatch
+        loop (the last production surface off the throughput path; the
+        reference materializes gammas inside its OpenMP E-step,
+        src/hmm.cpp:48-49,147-148).  Sub-rows created by span splitting
+        (pack_observations) are summed back so row l is the caller's
+        row l."""
+        if getattr(self, "_decode_fn", None) is None:
+            if self._mesh is not None:
+                from ..parallel import mesh as mesh_mod
+
+                self._decode_fn = mesh_mod.make_sharded_decode(
+                    self._mesh, self._nbits, self._chunk
+                )
+                self._decode_args = mesh_mod.shard_batch(
+                    self._mesh, np.asarray(self._spans), np.asarray(self._keys)
+                )
+            else:
+                self._decode_fn = jax.jit(
+                    partial(
+                        hmm_mod.decode_gammas,
+                        nbits=self._nbits,
+                        chunk=self._chunk,
+                    ),
+                    device=self._device,
+                )
+                self._decode_args = (self._spans, self._keys)
+        g = np.asarray(
+            self._decode_fn(pi_d, T_d, E_d, *self._decode_args), np.float64
         )
+        out = []
+        for i, reps in enumerate(self._row_reps):
+            nsub = int(reps.sum())
+            gi = g[i, :nsub]
+            if reps.max(initial=1) > 1:
+                offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+                gi = np.add.reduceat(gi, offs, axis=0)
+            out.append(gi)
+        return out
+
+    def map_paths(self):
+        """Row-resolution MAP (Viterbi) hidden-state paths, one (L_i,) int32
+        array per contig, decoded in ONE batched program
+        (ops/hmm.py:viterbi_paths) — mesh-sharded over contigs when a mesh
+        is present.  Runs float64 (Viterbi scores reach ~-1e5, past float32
+        ranking resolution).  A split row reports the MAP state at the
+        original row's END — the same convention as unsplit rows."""
+        pi, T, E = self.tensors()
+        if getattr(self, "_viterbi_fn", None) is None:
+            if self._mesh is not None:
+                from ..parallel import mesh as mesh_mod
+
+                self._viterbi_fn = mesh_mod.make_sharded_viterbi(
+                    self._mesh, self._nbits
+                )
+                self._viterbi_args = mesh_mod.shard_batch(
+                    self._mesh, np.asarray(self._spans), np.asarray(self._keys)
+                )
+            else:
+                self._viterbi_fn = jax.jit(
+                    partial(hmm_mod.viterbi_paths, nbits=self._nbits),
+                    device=self._cpu,
+                )
+                self._viterbi_args = (
+                    np.asarray(self._spans),
+                    np.asarray(self._keys),
+                )
         f64 = jnp.float64
-        args = (jnp.asarray(pi, f64), jnp.asarray(T, f64),
-                jnp.asarray(E, f64))
+        paths = np.asarray(
+            self._viterbi_fn(
+                jnp.asarray(np.asarray(pi), f64),
+                jnp.asarray(np.asarray(T), f64),
+                jnp.asarray(np.asarray(E), f64),
+                *self._viterbi_args,
+            )
+        )
         return [
-            np.asarray(fn(*args, np.asarray(self._spans[i]),
-                          np.asarray(self._keys[i])))
-            for i in range(self._spans.shape[0])
+            paths[i, np.cumsum(reps) - 1].astype(np.int32)
+            for i, reps in enumerate(self._row_reps)
         ]
 
 
@@ -285,13 +356,19 @@ class OnePopInferenceManager(_EagerQOps):
         self.em_idx = em_mod.build_emission_index(
             all_keys, self.n, na=2, polarization_error=polarization_error
         )
-        spans, keys = pack_observations(
+        spans, keys, self._row_reps = pack_observations(
             data_list, self.em_idx.key_id(), chunk
         )
         self._nbits = max(1, int(spans.max()).bit_length())
         self._spans = jax.device_put(spans, self._device)
         self._keys = jax.device_put(keys, self._device)
         self._total_bases = float(sum(d[:, 0].sum() for d in data_list))
+        self._key_counts = np.bincount(
+            keys.ravel(),
+            weights=spans.ravel().astype(np.float64),
+            minlength=self.em_idx.n_keys,
+        )
+        self._n_contigs = spans.shape[0]
 
         # Kernel choice by cost model: the window kernel runs one shared-T
         # matmul per genome window (high achieved FLOP/s); the span kernel
@@ -668,16 +745,10 @@ class OnePopInferenceManager(_EagerQOps):
         """Exact closed-form E-step for a single hidden interval (M == 1,
         the stage-1 warm start): the HMM degenerates to independent sites, so
         the per-key posterior masses are just the span totals.  Avoids
-        running the kernel over per-base (unbinned) data."""
-        if not hasattr(self, "_key_counts"):
-            spans = np.asarray(self._spans)
-            keys = np.asarray(self._keys)
-            self._key_counts = np.bincount(
-                keys.ravel(),
-                weights=spans.ravel().astype(np.float64),
-                minlength=self.em_idx.n_keys,
-            )
-            self._n_contigs = spans.shape[0]
+        running the kernel over per-base (unbinned) data.
+
+        ``_key_counts`` is computed at construction (observations are
+        immutable per manager — recompute it if that ever changes)."""
         pi, T, E = self.tensors()
         logE = np.log(np.asarray(E)[:, 0])
         counts = self._key_counts
@@ -690,19 +761,6 @@ class OnePopInferenceManager(_EagerQOps):
         )
         self._check_finite(self._ll, self._stats, pi, T, E)
         return self._ll
-
-    def _compute_gammas(self, pi_d, T_d, E_d):
-        fn = jax.jit(
-            partial(
-                hmm_mod.posterior_gammas, nbits=self._nbits, chunk=self._chunk
-            ),
-            device=self._device,
-        )
-        out = []
-        for i in range(self._spans.shape[0]):
-            g = fn(pi_d, T_d, E_d, self._spans[i], self._keys[i])
-            out.append(np.asarray(g, np.float64))
-        return out
 
     def loglik(self):
         return self._ll
@@ -882,11 +940,19 @@ class TwoPopInferenceManager(_EagerQOps):
             all_keys, (self.n1, self.n2), (self.a1, self.a2),
             polarization_error,
         )
-        spans, keys = pack_observations(data_list, self.em_idx.key_id(), chunk)
+        spans, keys, self._row_reps = pack_observations(
+            data_list, self.em_idx.key_id(), chunk
+        )
         self._nbits = max(1, int(spans.max()).bit_length())
         self._spans = jax.device_put(spans, self._device)
         self._keys = jax.device_put(keys, self._device)
         self._total_bases = float(sum(d[:, 0].sum() for d in data_list))
+        self._key_counts = np.bincount(
+            keys.ravel(),
+            weights=spans.ravel().astype(np.float64),
+            minlength=self.em_idx.n_keys,
+        )
+        self._n_contigs = spans.shape[0]
 
         from ..ops.jcsfs import JointCSFS
 
@@ -971,18 +1037,7 @@ class TwoPopInferenceManager(_EagerQOps):
         )
         self._check_finite(self._ll, self._stats, pi, T, E)
         if self.save_gamma:
-            fn = jax.jit(
-                partial(
-                    hmm_mod.posterior_gammas,
-                    nbits=self._nbits,
-                    chunk=self._chunk,
-                ),
-                device=self._device,
-            )
-            self.gammas = [
-                np.asarray(fn(pi_d, T_d, E_d, self._spans[i], self._keys[i]))
-                for i in range(self._spans.shape[0])
-            ]
+            self.gammas = self._compute_gammas(pi_d, T_d, E_d)
         return self._ll
 
     def loglik(self):

@@ -322,7 +322,9 @@ def cached_matrices(n: int) -> MatrixCache:
     )
     try:
         os.makedirs(_DISK_CACHE_DIR, exist_ok=True)
-        tmp = path + f".tmp.{os.getpid()}"
+        # np.savez appends ".npz" unless the name already ends with it, so
+        # the temp name must end in ".npz" or os.replace never finds it.
+        tmp = path + f".{os.getpid()}.tmp.npz"
         np.savez(
             tmp, X0=X0, X2=X2, M0=M0, M1=M1, Uinv0=mc.Uinv0, Uinv2=mc.Uinv2
         )

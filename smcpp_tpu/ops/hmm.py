@@ -177,6 +177,101 @@ def estep(pi, T, E, spans, keys, nbits, chunk):
     return ll, gamma0, xisum, gamma_sums
 
 
+def _chunk_gammas(T, E, spans, keys, a0, bG, nbits):
+    """Per-row span-summed posterior masses for ONE chunk of rows.
+
+    a0: normalized forward vector entering the chunk; bG: normalized
+    backward vector leaving it.  Row l's gamma is the gradient of
+    log(alpha_{l-1}^T A_l(log e) beta_l) with respect to a per-state log
+    scale on the emission vector — binary exponentiation is a
+    re-association of the span product, so AD through ``_row_operator``
+    yields exactly the per-position posterior sum over the span (the
+    quantity the reference's span_Qs divided-difference algebra
+    accumulates, src/hmm.cpp:108-128) with no hand-derived algebra.
+    Normalization is automatic: each row's gamma sums to its span.
+    """
+    Tt = T.T
+    dt = T.dtype
+    tiny = jnp.finfo(dt).tiny
+    B = E[keys][:, :, None] * Tt[None]  # (G, M, M)
+    As, _ = jax.vmap(lambda b, s: _row_operator(b, s, nbits))(B, spans)
+
+    def fstep(a, A):
+        v = A @ a
+        v = v / jnp.maximum(jnp.sum(v), tiny)
+        return v, a  # emit alpha BEFORE this row
+
+    _, a_pre = jax.lax.scan(fstep, a0, As)
+
+    def bstep(b, A):
+        u = A.T @ b
+        u = u / jnp.maximum(jnp.max(u), tiny)
+        return u, b  # emit beta AFTER this row
+
+    _, b_post = jax.lax.scan(bstep, bG, As, reverse=True)
+
+    def row_gamma(a_before, b_after, e, s):
+        def f(log_scale):
+            Br = (e * jnp.exp(log_scale))[:, None] * Tt
+            A, lg = _row_operator(Br, s, nbits)
+            return jnp.log(jnp.maximum(b_after @ (A @ a_before), tiny)) + lg
+
+        return jax.grad(f)(jnp.zeros_like(e))
+
+    return jax.vmap(row_gamma)(a_pre, b_post, E[keys], spans)
+
+
+def decode_gammas(pi, T, E, spans, keys, nbits, chunk):
+    """Row-resolution posterior decode for a padded (C, L) contig batch.
+
+    Two-level direct decode (the batched, parallel replacement for the
+    per-contig ``posterior_gammas`` loop): chunk transfer operators via the
+    shared tree-reduction machinery, two O(L/chunk)-depth boundary scans,
+    then every chunk decodes independently (vmapped via lax.map) from its
+    boundary alpha/beta.  Returns (C, L, M); padding rows decode to zeros.
+    Matches ``posterior_gammas`` exactly (same mathematical definition).
+    """
+    C, L = spans.shape
+    Mdim = T.shape[0]
+    n_chunks = L // chunk
+    tiny = jnp.finfo(T.dtype).tiny
+    Ms, _ = _all_chunk_products(T, E, spans, keys, nbits, chunk)
+    Ms_t = jnp.moveaxis(Ms, 1, 0)  # (n_chunks, C, M, M)
+
+    def fstep(a, Mc):
+        v = jnp.einsum("cij,cj->ci", Mc, a)
+        v = v / jnp.maximum(jnp.sum(v, axis=1, keepdims=True), tiny)
+        return v, a
+
+    alpha0 = jnp.broadcast_to(pi.astype(Ms.dtype), (C, Mdim))
+    _, a_pre = jax.lax.scan(fstep, alpha0, Ms_t)
+
+    def bstep(b, Mc):
+        u = jnp.einsum("cij,ci->cj", Mc, b)
+        u = u / jnp.maximum(jnp.max(u, axis=1, keepdims=True), tiny)
+        return u, b
+
+    _, b_post = jax.lax.scan(
+        bstep, jnp.ones((C, Mdim), Ms.dtype), Ms_t, reverse=True
+    )
+
+    sp = spans.reshape(C * n_chunks, chunk)
+    ky = keys.reshape(C * n_chunks, chunk)
+    a0 = jnp.moveaxis(a_pre, 0, 1).reshape(C * n_chunks, Mdim)
+    bG = jnp.moveaxis(b_post, 0, 1).reshape(C * n_chunks, Mdim)
+    # the AD tape holds ~nbits (M, M) residuals per row
+    per = chunk * Mdim * Mdim * 4 * (6 + 2 * nbits)
+    bs = max(8, min((1 << 28) // per, C * n_chunks))
+
+    g = jax.lax.map(
+        lambda xs: _chunk_gammas(T, E, xs[0], xs[1], xs[2], xs[3], nbits),
+        (sp, ky, a0, bG),
+        batch_size=bs,
+    )
+    # posterior masses are nonnegative; f32 AD rounding can land ~-1e-8
+    return jnp.maximum(g.reshape(C, L, Mdim), 0.0)
+
+
 def posterior_gammas(pi, T, E, spans, keys, nbits, chunk):
     """Per-row posterior state masses for one contig, summed over each row's
     span: gamma[l, m] = sum over the span of row l of P(state = m | data).
@@ -277,3 +372,14 @@ def viterbi_path(pi, T, E, spans, keys, nbits):
 
     _, path = jax.lax.scan(back, last, bps, reverse=True)
     return path
+
+
+def viterbi_paths(pi, T, E, spans, keys, nbits):
+    """Batched MAP decode over a padded (C, L) contig batch: one jitted
+    program instead of a per-contig dispatch loop.  Returns (C, L) int32.
+
+    Padding rows (span 0) contribute identity max-plus operators, so the
+    backtrace through them repeats the adjacent real state."""
+    return jax.vmap(
+        lambda s, k: viterbi_path(pi, T, E, s, k, nbits)
+    )(spans, keys)

@@ -74,7 +74,23 @@ CARRY = os.environ.get("SMCPP_TPU_CARRY", "auto")
 # overhead (loop bookkeeping, fusion boundaries) is a real fraction of
 # step time at L ~ 16k windows; unrolling fuses UNROLL steps per loop
 # iteration.  Set SMCPP_TPU_UNROLL=1 to disable.
-UNROLL = int(os.environ.get("SMCPP_TPU_UNROLL", "8"))
+#
+# Both unroll knobs are IMPORT-TIME settings: they are read once here and
+# baked into jit caches; changing the env vars mid-process has no effect
+# on already-compiled configs.
+def _env_unroll(name, default):
+    raw = os.environ.get(name, default)
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name} must be an integer (got {raw!r})"
+        ) from None
+    return max(1, val)
+
+
+UNROLL = _env_unroll("SMCPP_TPU_UNROLL", "8")
+UNROLL_OUTER = _env_unroll("SMCPP_TPU_UNROLL_OUTER", "1")
 
 
 def _carry_dtype(precision, base_dtype):
@@ -192,7 +208,7 @@ def segment_operators(T, E, keys, valid, precision=None, emit_e=False):
 
     (X, logs), e_all = jax.lax.scan(
         outer, (X0, jnp.zeros(S, T.dtype)), (keys_b, valid_b),
-        unroll=int(os.environ.get("SMCPP_TPU_UNROLL_OUTER", "1")),
+        unroll=UNROLL_OUTER,
     )
     # X[i, s, k] = (product of step operators applied to basis vector k)_i,
     # so ops[s][i, k] = X[i, s, k] maps alpha_in -> alpha_out directly.

@@ -88,6 +88,46 @@ def make_sharded_estep(mesh, nbits, chunk, precision=None):
     )
 
 
+def make_sharded_decode(mesh, nbits, chunk):
+    """Contig-sharded posterior decode (ops/hmm.py:decode_gammas).
+
+    f(pi, T, E, spans, keys) -> (C, L, M) row-resolution gammas, contig
+    axis sharded in and out — each device decodes its own contigs; there
+    is no cross-device reduction (unlike the E-step statistics)."""
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data", None))
+    local = jax.shard_map(
+        partial(hmm.decode_gammas, nbits=nbits, chunk=chunk),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data", None)),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )
+    return jax.jit(
+        local,
+        in_shardings=(repl, repl, repl, data_sh, data_sh),
+        out_shardings=NamedSharding(mesh, P("data", None, None)),
+    )
+
+
+def make_sharded_viterbi(mesh, nbits):
+    """Contig-sharded MAP decode (ops/hmm.py:viterbi_paths) -> (C, L) int32."""
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data", None))
+    local = jax.shard_map(
+        partial(hmm.viterbi_paths, nbits=nbits),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data", None)),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    return jax.jit(
+        local,
+        in_shardings=(repl, repl, repl, data_sh, data_sh),
+        out_shardings=data_sh,
+    )
+
+
 def make_sharded_loglik(mesh, nbits, chunk):
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data", None))

@@ -138,13 +138,13 @@ def test_csfs_large_n_envelope():
     (measured on the old identical formulation here: n=50 -> 7e-5,
     n=55 -> 3e-3, n=60 -> 0.16, n>=65 garbage).  The symmetrized
     eigenbasis + exact below-products keep every constant factor
-    O(n)-bounded, so plain f64 holds ~1e-12 through n = 150 — covering
+    O(n)-bounded, so plain f64 holds ~1e-12 through n = 200 — covering
     the reference's "hundreds of unphased whole genomes" paper scale
     (commands/cite.py:8-9) without extended precision."""
     s = np.array([1.0, 1.0, 2.0])
     a = np.ones(3)
     g = gridmod.make_time_grid(s, np.array([0.0, np.inf]))
-    for n in [60, 100, 150]:
+    for n in [60, 100, 150, 200]:
         out = np.asarray(csfs.conditioned_sfs(a, g, n, xp=np))[0]
         undist = undistinguished_sfs(out)
         np.testing.assert_allclose(undist[1:], 2.0 / np.arange(1, n + 2),

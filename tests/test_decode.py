@@ -1,0 +1,162 @@
+"""Posterior decode on the batched path: decode_gammas / viterbi_paths
+kernels vs the per-contig oracles, mesh-sharded decode vs single device,
+and the sub-row re-aggregation contract of the manager (gammas and MAP
+paths must line up with the ORIGINAL input rows even when pack_observations
+splits long spans)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smcpp_tpu.ops import hmm
+
+
+@pytest.fixture(scope="module")
+def small_hmm():
+    rng = np.random.RandomState(7)
+    M, nK = 6, 9
+    pi = rng.dirichlet(np.ones(M))
+    T = rng.dirichlet(np.ones(M), size=M)
+    E = rng.uniform(0.01, 1.0, (nK, M))
+    C, L = 4, 32
+    spans = rng.randint(0, 9, (C, L)).astype(np.int32)
+    spans[1, -7:] = 0  # ragged padding
+    keys = rng.randint(0, nK, (C, L)).astype(np.int32)
+    keys[spans == 0] = 0
+    return pi, T, E, spans, keys
+
+
+def test_decode_gammas_matches_oracle(small_hmm):
+    pi, T, E, spans, keys = small_hmm
+    nbits, chunk = 5, 8
+    g = np.asarray(
+        hmm.decode_gammas(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(spans), jnp.asarray(keys), nbits, chunk,
+        )
+    )
+    for c in range(spans.shape[0]):
+        ref = np.asarray(
+            hmm.posterior_gammas(
+                jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+                jnp.asarray(spans[c]), jnp.asarray(keys[c]), nbits, chunk,
+            )
+        )
+        np.testing.assert_allclose(g[c], ref, atol=1e-12)
+    # per-row normalization: gamma sums to the span
+    np.testing.assert_allclose(g.sum(axis=2), spans, atol=1e-9)
+
+
+def test_viterbi_paths_matches_single(small_hmm):
+    pi, T, E, spans, keys = small_hmm
+    nbits = 5
+    vb = np.asarray(
+        hmm.viterbi_paths(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(spans), jnp.asarray(keys), nbits,
+        )
+    )
+    for c in range(spans.shape[0]):
+        ref = np.asarray(
+            hmm.viterbi_path(
+                jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+                jnp.asarray(spans[c]), jnp.asarray(keys[c]), nbits,
+            )
+        )
+        np.testing.assert_array_equal(vb[c], ref)
+
+
+def test_sharded_decode_matches_single(small_hmm):
+    from smcpp_tpu.parallel import mesh as mesh_mod
+
+    pi, T, E, spans, keys = small_hmm
+    nbits, chunk = 5, 8
+    mesh = mesh_mod.make_mesh()
+    fn = mesh_mod.make_sharded_decode(mesh, nbits, chunk)
+    sp, ky = mesh_mod.shard_batch(mesh, spans, keys)
+    g_sh = np.asarray(fn(jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+                         sp, ky))
+    g = np.asarray(
+        hmm.decode_gammas(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(spans), jnp.asarray(keys), nbits, chunk,
+        )
+    )
+    np.testing.assert_allclose(g_sh[: spans.shape[0]], g, atol=1e-12)
+
+    vfn = mesh_mod.make_sharded_viterbi(mesh, nbits)
+    v_sh = np.asarray(vfn(jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+                          sp, ky))
+    v = np.asarray(
+        hmm.viterbi_paths(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(spans), jnp.asarray(keys), nbits,
+        )
+    )
+    np.testing.assert_array_equal(v_sh[: spans.shape[0]], v)
+
+
+def _make_im(data, max_span=None, **kw):
+    from smcpp_tpu.inference import estimation
+    from smcpp_tpu.inference.manager import OnePopInferenceManager
+    from smcpp_tpu.models import SMCModel
+
+    m = SMCModel([0.01, 3.0], 20000.0, "piecewise")
+    m.y[:] = 0.0
+    hs = estimation.balance_hidden_states(m, 6)
+    im = OnePopInferenceManager(2, [data], hs, ("pop1",), 0.5, **kw)
+    im.set_model(m)
+    im.theta = 1e-4
+    im.rho = 1e-4
+    im.alpha = 1
+    return im
+
+
+def test_gamma_alignment_under_span_splitting():
+    """pack_observations splits long spans into sub-rows; the decoded
+    gammas and MAP paths must still line up 1:1 with the caller's rows
+    (this was silently wrong when the decode returned sub-row arrays)."""
+    rng = np.random.RandomState(3)
+    n_rows = 60
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(1, 30, n_rows)
+    # a few very long homozygous runs that the cost model will split
+    data[5, 0] = 40000
+    data[20, 0] = 35000
+    data[40, 0] = 50000
+    data[:, 1] = rng.randint(0, 2, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows) % (data[:, 3] + 1)
+
+    im = _make_im(data)
+    # ensure the scenario actually splits rows
+    assert any(r.max() > 1 for r in im._row_reps)
+    im.save_gamma = True
+    im.E_step()
+    g = im.gammas[0]
+    assert g.shape[0] == n_rows
+    np.testing.assert_allclose(g.sum(axis=1), data[:, 0], rtol=1e-3)
+
+    paths = im.map_paths()
+    assert paths[0].shape == (n_rows,)
+    assert paths[0].dtype == np.int32
+
+    # oracle: an unsplit manager (max span large enough to avoid splitting)
+    from smcpp_tpu.inference.manager import pack_observations
+
+    spans, keys, reps = pack_observations(
+        [data], im.em_idx.key_id(), im._chunk, max_span=1 << 20
+    )
+    assert all(r.max() == 1 for r in reps)
+    pi, T, E = (np.asarray(x, np.float64) for x in im.tensors())
+    nbits = max(1, int(spans.max()).bit_length())
+    g_ref = np.asarray(
+        hmm.decode_gammas(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(spans), jnp.asarray(keys), nbits, im._chunk,
+        )
+    )[0, :n_rows]
+    # the manager decode runs in the f32 E-step dtype; span sums reach
+    # ~5e4, so f32 rounding shows up at the ~1e-3 relative level
+    np.testing.assert_allclose(g, g_ref, rtol=5e-3, atol=1e-5)

@@ -121,10 +121,10 @@ def test_posterior_gamma(smc_file):
     im.save_gamma = True
     im.E_step()
     g = im.gammas[0]
-    spans = np.asarray(im._spans[0])
-    keep = spans > 0
-    # each row's gamma sums to its span
-    np.testing.assert_allclose(g[keep].sum(axis=1), spans[keep], rtol=1e-3)
+    # gammas line up 1:1 with the ORIGINAL input rows (sub-row splits are
+    # re-aggregated) and each row's gamma sums to its span
+    assert g.shape[0] == len(c.data)
+    np.testing.assert_allclose(g.sum(axis=1), c.data[:, 0], rtol=1e-3)
 
 
 def test_q_batch_matches_sequential(smc_file):
