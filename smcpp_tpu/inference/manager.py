@@ -443,23 +443,35 @@ class OnePopInferenceManager(_EagerQOps):
         # the gradient-identity path.
         use_ad = os.environ.get("SMCPP_TPU_ESTEP", "direct") == "ad"
         if self._use_windows and not use_ad:
-            # memory-budget gate for the (L, M, S) emission stream (f32):
-            # rebuildable per step at ~25% slowdown when the stream would
-            # crowd device HBM on very large per-chip genomes
+            # HBM budget gate for the two per-window streams, cheapest
+            # fallback first (measured costs on v5e):
+            #   1. full:      e_all f32 (4 B) + alpha bf16 (2 B) / window / M
+            #   2. alpha remat: drop the alpha stream (~1 extra fwd sweep)
+            #   3. + no e_all:  rebuild lookups per step  (~25% slower)
+            # The combination leaves O(sqrt(L)) state per segment — the
+            # reference's linear-memory analogue is its compressed-row f32
+            # alpha_hat (src/hmm.cpp:59), which has no such cliff to manage.
             import os as _os
+
+            from ..ops import window_kernel as wk
 
             S, L = self._wkeys.shape
             Mdim = len(self.hidden_states) - 1
-            need = S * L * Mdim * 4 / max(1, len(self._devices))
+            per_dev = S * L * Mdim / max(1, len(self._devices))
+            need_e, need_alpha = per_dev * 4, per_dev * 2
             budget = float(
                 _os.environ.get("SMCPP_TPU_ESTREAM_BYTES", 6e9)
             )
-            e_stream = need <= budget
-            if not e_stream:
+            e_stream = True
+            alpha_remat = None
+            if need_e + need_alpha > budget:
+                alpha_remat = wk.remat_block_size(L)
+                e_stream = need_e <= budget
                 logger.info(
-                    "emission stream (%.1f GB/device) over budget "
-                    "(%.1f GB); statistic sweeps will rebuild lookups "
-                    "per step", need / 1e9, budget / 1e9,
+                    "window streams (%.1f GB/device) over budget (%.1f GB): "
+                    "alpha remat ON (block %d)%s",
+                    (need_e + need_alpha) / 1e9, budget / 1e9, alpha_remat,
+                    "" if e_stream else "; emission stream OFF",
                 )
         if self._mesh is not None:
             from ..parallel import mesh as mesh_mod
@@ -470,7 +482,8 @@ class OnePopInferenceManager(_EagerQOps):
                         self._mesh, self._soc, precision=p
                     )
                 return mesh_mod.make_sharded_direct_estep(
-                    self._mesh, self._soc, precision=p, e_stream=e_stream
+                    self._mesh, self._soc, precision=p, e_stream=e_stream,
+                    alpha_remat=alpha_remat,
                 )
             return mesh_mod.make_sharded_estep(
                 self._mesh, nbits=self._nbits, chunk=self._chunk, precision=p
@@ -485,7 +498,7 @@ class OnePopInferenceManager(_EagerQOps):
             else:
                 fn = partial(
                     wk.estep_direct, seg_of_contig=self._soc, precision=p,
-                    e_stream=e_stream,
+                    e_stream=e_stream, alpha_remat=alpha_remat,
                 )
             return jax.jit(fn, device=self._device)
         fn = partial(hmm_mod.estep, nbits=self._nbits, chunk=self._chunk)

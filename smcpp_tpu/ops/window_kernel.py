@@ -366,7 +366,7 @@ def contig_boundaries(pi, ops, logs, seg_of_contig, seg_has):
 
 
 def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
-               axis_name=None):
+               axis_name=None, alpha_remat=None):
     """Lockstep alpha/beta sweeps accumulating within-segment statistics.
 
     All per-window state lives in the transposed (M, S) layout so the big
@@ -380,7 +380,14 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
     elementwise by T to get the xisum contribution) and ``u_start[s] =
     e_first ⊙ beta_first`` feeds the boundary transitions.  With
     ``axis_name``, xo/gsum are psum'd across that mesh axis (for
-    shard_map over the segment axis)."""
+    shard_map over the segment axis).
+
+    ``alpha_remat`` (int block size dividing L, or None): instead of
+    materializing the full (L, M, S) alpha stream, store only one (M, S)
+    snapshot per block and recompute each block's alphas on the fly during
+    the backward sweep — O(L/B + B) state instead of O(L), at the cost of
+    one extra forward sweep (the memory lever the reference gets from its
+    compressed-row float32 alpha_hat, src/hmm.cpp:59)."""
     if precision is None:
         precision = MATMUL_PRECISION
     S, L = keys.shape
@@ -415,11 +422,9 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
         aT = jnp.where(v[None, :], anew, aT)
         return aT, aT.astype(cdt)
 
-    alpha_end_T, alphas = jax.lax.scan(
-        asc, A_in.T.astype(dt),
-        (keysT if e_all is None else e_all, validT),
-        unroll=UNROLL,
-    )
+    def asc_nosave(aT, kv):
+        aT, _ = asc(aT, kv)
+        return aT, None
 
     def dsc(carry, xs):
         qT, uT, xo, gsum = carry
@@ -453,26 +458,73 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
         uT = jnp.where(v[None, :], eT * qT, uT)
         return (qT, uT, xo, gsum), None
 
+    def dsc_noe(carry, xs):
+        a_l, k, v, vn = xs
+        return dsc(carry, (a_l, None, k, v, vn))
+
     init = (
         Q_end.T.astype(dt),
         jnp.zeros((Mdim, S), dt),
         jnp.zeros((Mdim, Mdim), jnp.float64),
         jnp.zeros((Mdim, n_keys), jnp.float64),
     )
-    if e_all is None:
-        def dsc_noe(carry, xs):
-            a_l, k, v, vn = xs
-            return dsc(carry, (a_l, None, k, v, vn))
+
+    ekT = keysT if e_all is None else e_all
+
+    if alpha_remat is None:
+        alpha_end_T, alphas = jax.lax.scan(
+            asc, A_in.T.astype(dt), (ekT, validT), unroll=UNROLL,
+        )
+        if e_all is None:
+            (_, u_start_T, xo, gsum), _ = jax.lax.scan(
+                dsc_noe, init, (alphas, keysT, validT, vnextT),
+                reverse=True, unroll=UNROLL,
+            )
+        else:
+            (_, u_start_T, xo, gsum), _ = jax.lax.scan(
+                dsc, init, (alphas, e_all, keysT, validT, vnextT),
+                reverse=True, unroll=UNROLL,
+            )
+    else:
+        B = int(alpha_remat)
+        assert L % B == 0, (L, B)
+        nblk = L // B
+        ek_b = ekT.reshape(nblk, B, *ekT.shape[1:])
+        keys_b = keysT.reshape(nblk, B, S)
+        valid_b = validT.reshape(nblk, B, S)
+        vnext_b = vnextT.reshape(nblk, B, S)
+
+        def asc_block(aT, xs_blk):
+            aT2, _ = jax.lax.scan(asc_nosave, aT, xs_blk, unroll=UNROLL)
+            return aT2, aT.astype(cdt)  # emit the alpha BEFORE this block
+
+        alpha_end_T, snaps = jax.lax.scan(
+            asc_block, A_in.T.astype(dt), (ek_b, valid_b)
+        )
+
+        def dsc_block(carry, xs_blk):
+            snap, ekb, kb, vb, vnb = xs_blk
+            # recompute this block's per-window alphas from the snapshot
+            _, alphas_blk = jax.lax.scan(
+                asc, snap.astype(dt), (ekb, vb), unroll=UNROLL
+            )
+            if e_all is None:
+                carry, _ = jax.lax.scan(
+                    dsc_noe, carry, (alphas_blk, kb, vb, vnb),
+                    reverse=True, unroll=UNROLL,
+                )
+            else:
+                carry, _ = jax.lax.scan(
+                    dsc, carry, (alphas_blk, ekb, kb, vb, vnb),
+                    reverse=True, unroll=UNROLL,
+                )
+            return carry, None
 
         (_, u_start_T, xo, gsum), _ = jax.lax.scan(
-            dsc_noe, init, (alphas, keysT, validT, vnextT), reverse=True,
-            unroll=UNROLL,
+            dsc_block, init, (snaps, ek_b, keys_b, valid_b, vnext_b),
+            reverse=True,
         )
-    else:
-        (_, u_start_T, xo, gsum), _ = jax.lax.scan(
-            dsc, init, (alphas, e_all, keysT, validT, vnextT), reverse=True,
-            unroll=UNROLL,
-        )
+
     if axis_name is not None:
         xo = jax.lax.psum(xo, axis_name)
         gsum = jax.lax.psum(gsum, axis_name)
@@ -508,13 +560,15 @@ def boundary_stats(pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid):
 
 
 def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
-                 e_stream=True):
+                 e_stream=True, alpha_remat=None):
     """Direct Baum-Welch E-step: same contract as ``estep_windows``
     (ll, pi-stat, xisum, gamma_sums), computed without autodiff.
 
     ``e_stream=False`` skips materializing the (L, M, S) emission stream
     (the sweeps rebuild lookups per step instead — ~25% slower, but
-    L*M*S*4 bytes less device memory; see the manager's budget gate)."""
+    L*M*S*4 bytes less device memory); ``alpha_remat`` trades the
+    (L, M, S) alpha stream for per-block recompute (see stats_pass).
+    Both are selected by the manager's HBM budget gate."""
     if precision is None:
         precision = MATMUL_PRECISION
     if e_stream:
@@ -529,12 +583,25 @@ def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
         pi, ops, logs, seg_of_contig, seg_has
     )
     alpha_end, u_start, xo, gsum = stats_pass(
-        T, E, keys, valid, A_in, Q_end, e_all, precision
+        T, E, keys, valid, A_in, Q_end, e_all, precision,
+        alpha_remat=alpha_remat,
     )
     xo, pi_stat = boundary_stats(
         pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid
     )
     return ll, pi_stat, xo * T.astype(xo.dtype), gsum
+
+
+def remat_block_size(L):
+    """Alpha-remat block size: the divisor of L nearest sqrt(L) that is a
+    multiple of RESCALE_EVERY (L is always padded to one).  Balances the
+    snapshot stream (L/B) against the per-block recompute scratch (B)."""
+    target = max(RESCALE_EVERY, int(np.sqrt(L)))
+    best = RESCALE_EVERY
+    for b in range(RESCALE_EVERY, L + 1, RESCALE_EVERY):
+        if L % b == 0 and abs(b - target) < abs(best - target):
+            best = b
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -169,7 +169,7 @@ def pad_segments(keys, valid, n_devices):
 
 
 def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
-                              e_stream=True):
+                              e_stream=True, alpha_remat=None):
     """Segment-sharded direct (AD-free) window E-step.
 
     Same contract as ``make_sharded_window_estep`` but built from the
@@ -178,7 +178,8 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
     shard_map'd over the segment axis with xisum/gamma_sums psum'd across
     the mesh; the tiny contig-level boundary scans and cross-boundary
     statistics run replicated.  ``e_stream=False`` skips the (L, M, S)
-    emission stream (memory-budget fallback, see estep_direct)."""
+    emission stream, ``alpha_remat`` trades the alpha stream for per-block
+    recompute (memory-budget fallbacks, see estep_direct)."""
     from ..ops import window_kernel as wk
 
     op_out = (P("data", None, None), P("data"))
@@ -197,7 +198,8 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
     if e_stream:
         stats_in = stats_in + (P(None, None, "data"),)
     stats_local = jax.shard_map(
-        partial(wk.stats_pass, precision=precision, axis_name="data"),
+        partial(wk.stats_pass, precision=precision, axis_name="data",
+                alpha_remat=alpha_remat),
         mesh=mesh,
         in_specs=stats_in,
         out_specs=(P("data", None), P("data", None), P(), P()),

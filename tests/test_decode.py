@@ -160,3 +160,30 @@ def test_gamma_alignment_under_span_splitting():
     # the manager decode runs in the f32 E-step dtype; span sums reach
     # ~5e4, so f32 rounding shows up at the ~1e-3 relative level
     np.testing.assert_allclose(g, g_ref, rtol=5e-3, atol=1e-5)
+
+
+def test_manager_memory_gate_toggles_remat(monkeypatch):
+    """With a tiny HBM budget the manager must select the remat (+ no
+    e-stream) kernel and still reproduce the full-memory statistics."""
+    rng = np.random.RandomState(8)
+    n_rows = 200
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(5, 60, n_rows)
+    data[:, 1] = rng.randint(0, 3, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows)
+
+    im_full = _make_im(data)
+    assert im_full._use_windows
+    ll_full = im_full.E_step()
+
+    monkeypatch.setenv("SMCPP_TPU_ESTREAM_BYTES", "1")
+    im_tiny = _make_im(data)
+    ll_tiny = im_tiny.E_step()
+    assert np.isclose(ll_tiny, ll_full, rtol=1e-6)
+    # the two configs round the alpha stream differently (stored bf16 per
+    # window vs bf16 snapshot + f32 recompute), so entries agree only to
+    # kernel noise; exact equivalence is pinned in f64 in
+    # tests/test_window_kernel.py::test_estep_direct_alpha_remat_matches
+    for a, b in zip(im_full._stats, im_tiny._stats):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-6)

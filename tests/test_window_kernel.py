@@ -284,3 +284,60 @@ def test_estep_direct_no_stream():
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(x), rtol=1e-12, atol=1e-15
         )
+
+
+def test_estep_direct_alpha_remat_matches():
+    """The alpha-remat path (blocked recompute from snapshots) must
+    reproduce the stored-alpha statistics to machine precision in f64,
+    with and without the emission stream, across block sizes."""
+    pi, T, E, data = make_problem(seed=9, C=3, rows=40)
+    key_id = {(k,): k for k in range(E.shape[0])}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    args = (
+        jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+        jnp.asarray(keys), jnp.asarray(valid), soc,
+    )
+    base = wk.estep_direct(*args)
+    L = keys.shape[1]
+    blocks = sorted({wk.remat_block_size(L), wk.RESCALE_EVERY, L})
+    for estream in (True, False):
+        for blk in blocks:
+            if L % blk:
+                continue
+            out = wk.estep_direct(
+                *args, e_stream=estream, alpha_remat=blk
+            )
+            assert np.isclose(float(out[0]), float(base[0]), rtol=1e-12), (
+                estream, blk,
+            )
+            for a, b in zip(base[1:], out[1:]):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-11, atol=1e-14
+                )
+
+
+def test_sharded_direct_estep_alpha_remat():
+    "Remat flag through the segment-sharded mesh path == single device."
+    from smcpp_tpu.parallel import mesh as mesh_mod
+
+    pi, T, E, data = make_problem(seed=10, C=4, rows=30)
+    key_id = {(k,): k for k in range(E.shape[0])}
+    keys, valid, soc = wk.pack_windows(data, key_id, seg_target=16)
+    mesh = mesh_mod.make_mesh()
+    keys_p, valid_p = mesh_mod.pad_segments(keys, valid, mesh.devices.size)
+    fn = mesh_mod.make_sharded_direct_estep(
+        mesh, soc, alpha_remat=wk.remat_block_size(keys.shape[1])
+    )
+    sh = fn(
+        jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+        jnp.asarray(keys_p), jnp.asarray(valid_p),
+    )
+    base = wk.estep_direct(
+        jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+        jnp.asarray(keys), jnp.asarray(valid), soc,
+    )
+    assert np.isclose(float(sh[0]), float(base[0]), rtol=1e-12)
+    for a, b in zip(base[1:], sh[1:]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-11, atol=1e-14
+        )
