@@ -46,10 +46,29 @@ class Command:
                  "with automatic escalation if the likelihood ever "
                  "decreases; 'highest' = exact f32 as in the reference)",
         )
+        dist = parser.add_argument_group(
+            "multi-host execution (launch one identical process per host; "
+            "the device mesh then spans every chip on every host)"
+        )
+        dist.add_argument(
+            "--coordinator", default=None, metavar="HOST:PORT",
+            help="jax.distributed coordinator address (process 0's host)",
+        )
+        dist.add_argument(
+            "--num-processes", type=check_positive, default=None,
+            metavar="N", help="total number of processes in the job",
+        )
+        dist.add_argument(
+            "--process-id", type=int, default=None, metavar="I",
+            help="this process's rank in [0, N)",
+        )
 
     def main(self, args):
         if getattr(args, "devices", None):
             os.environ["SMCPP_TPU_DEVICES"] = str(args.devices)
+        from ..parallel import distributed as dist_mod
+
+        dist_mod.maybe_initialize_from_args(args)
         np.random.seed(args.seed)
         level = [logging.INFO, logging.DEBUG][min(args.verbose, 1)]
         logging.basicConfig(

@@ -42,10 +42,11 @@ _PRECISION_ALIASES = {"bfloat16": "default", "float32": "highest"}
 
 
 def _cpu_device():
+    "A PROCESS-LOCAL cpu device (jax.devices('cpu')[0] may be a remote host's)."
     try:
-        return jax.devices("cpu")[0]
+        return jax.local_devices(backend="cpu")[0]
     except RuntimeError:
-        return jax.devices()[0]
+        return jax.local_devices()[0]
 
 
 def _resolve_devices(compute_device, devices):
@@ -384,7 +385,11 @@ class OnePopInferenceManager(_EagerQOps):
         self._estep_dtype = estep_dtype
         self._cpu = _cpu_device()
         self._devices = _resolve_devices(compute_device, devices)
-        self._device = self._devices[0]
+        # staging / single-device target: prefer a device THIS process
+        # addresses (devices[0] may live on another host in a pod job)
+        _local = [d for d in self._devices
+                  if d.process_index == jax.process_index()]
+        self._device = (_local or self._devices)[0]
         self._mesh = None
         if len(self._devices) > 1:
             from ..parallel import mesh as mesh_mod
@@ -401,8 +406,14 @@ class OnePopInferenceManager(_EagerQOps):
             data_list, self.em_idx.key_id(), chunk
         )
         self._nbits = max(1, int(spans.max()).bit_length())
-        self._spans = jax.device_put(spans, self._device)
-        self._keys = jax.device_put(keys, self._device)
+        if self._mesh is None:
+            self._spans = jax.device_put(spans, self._device)
+            self._keys = jax.device_put(keys, self._device)
+        else:
+            # host staging only: the mesh paths re-place these with global
+            # shardings (a committed single-device copy would be wasted,
+            # and devices[0] may be another host's in a pod job)
+            self._spans, self._keys = spans, keys
         self._total_bases = float(sum(d[:, 0].sum() for d in data_list))
         self._key_counts = np.bincount(
             keys.ravel(),
@@ -945,7 +956,11 @@ class TwoPopInferenceManager(_EagerQOps):
         self._estep_dtype = estep_dtype
         self._cpu = _cpu_device()
         self._devices = _resolve_devices(compute_device, devices)
-        self._device = self._devices[0]
+        # staging / single-device target: prefer a device THIS process
+        # addresses (devices[0] may live on another host in a pod job)
+        _local = [d for d in self._devices
+                  if d.process_index == jax.process_index()]
+        self._device = (_local or self._devices)[0]
         self._mesh = None
         if len(self._devices) > 1:
             from ..parallel import mesh as mesh_mod
@@ -963,8 +978,14 @@ class TwoPopInferenceManager(_EagerQOps):
             data_list, self.em_idx.key_id(), chunk
         )
         self._nbits = max(1, int(spans.max()).bit_length())
-        self._spans = jax.device_put(spans, self._device)
-        self._keys = jax.device_put(keys, self._device)
+        if self._mesh is None:
+            self._spans = jax.device_put(spans, self._device)
+            self._keys = jax.device_put(keys, self._device)
+        else:
+            # host staging only: the mesh paths re-place these with global
+            # shardings (a committed single-device copy would be wasted,
+            # and devices[0] may be another host's in a pod job)
+            self._spans, self._keys = spans, keys
         self._total_bases = float(sum(d[:, 0].sum() for d in data_list))
         self._key_counts = np.bincount(
             keys.ravel(),

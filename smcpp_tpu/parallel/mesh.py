@@ -103,10 +103,13 @@ def make_sharded_decode(mesh, nbits, chunk):
         out_specs=P("data", None, None),
         check_vma=False,
     )
+    # replicated output: the caller reads the whole array on every process
+    # (np.asarray on a contig-sharded global array is not addressable from
+    # one host in a multi-host job); the all-gather is one decode's worth
     return jax.jit(
         local,
         in_shardings=(repl, repl, repl, data_sh, data_sh),
-        out_shardings=NamedSharding(mesh, P("data", None, None)),
+        out_shardings=repl,
     )
 
 
@@ -124,7 +127,7 @@ def make_sharded_viterbi(mesh, nbits):
     return jax.jit(
         local,
         in_shardings=(repl, repl, repl, data_sh, data_sh),
-        out_shardings=data_sh,
+        out_shardings=repl,
     )
 
 
