@@ -270,6 +270,11 @@ class _EagerQOps:
                 self._wkeys = jax.device_put(wkeys, self._device)
                 self._wvalid = jax.device_put(wvalid, self._device)
             self._soc = soc
+            # row spans per contig, kept for the window-path posterior
+            # decode (window -> row aggregation ids)
+            self._wrow_spans = [
+                d[:, 0].astype(np.int64) for d in data_list
+            ]
         logger.debug(
             "IM(pid=%s): %d contigs, padded L=%d, %d keys, nbits=%d, "
             "kernel=%s, devices=%d",
@@ -287,7 +292,17 @@ class _EagerQOps:
         reference materializes gammas inside its OpenMP E-step,
         src/hmm.cpp:48-49,147-148).  Sub-rows created by span splitting
         (pack_observations) are summed back so row l is the caller's
-        row l."""
+        row l.
+
+        When the E-step itself runs on windows AND the per-window gamma
+        stream fits the HBM budget, the decode rides the window kernel
+        instead: per-window gammas emitted by the backward sweep,
+        aggregated to rows on device (prefix-sum difference at row ends on
+        one chip, per-shard segment-sum + psum on a mesh) — measured 0.40 s
+        vs 93 s for the row-level AD decode at the binned C3 scale
+        (5.5 Gbp), ~2x the E-step itself."""
+        if self._use_windows and self._window_decode_fits():
+            return self._window_decode(pi_d, T_d, E_d)
         if getattr(self, "_decode_fn", None) is None:
             if self._mesh is not None:
                 from ..parallel import mesh as mesh_mod
@@ -319,6 +334,59 @@ class _EagerQOps:
                 offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
                 gi = np.add.reduceat(gi, offs, axis=0)
             out.append(gi)
+        return out
+
+    def _window_decode_fits(self):
+        "Gamma (f32) + alpha (bf16) streams within the HBM budget per device."
+        import os
+
+        S, L = self._wkeys.shape
+        Mdim = len(self.hidden_states) - 1
+        need = S * L * Mdim * (4 + 2) / max(1, len(self._devices))
+        return need <= float(os.environ.get("SMCPP_TPU_ESTREAM_BYTES", 6e9))
+
+    def _window_decode(self, pi_d, T_d, E_d):
+        from ..ops import window_kernel as wk
+
+        if getattr(self, "_wdecode_fn", None) is None:
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel import mesh as mesh_mod
+
+                rid, n_rows = wk.pack_window_row_ids(
+                    self._wrow_spans, self._wkeys.shape[1], self._soc
+                )
+                pad = self._wkeys.shape[0] - rid.shape[0]
+                if pad:
+                    rid = np.concatenate(
+                        [rid, np.zeros((pad, rid.shape[1]), rid.dtype)]
+                    )
+                sh = NamedSharding(self._mesh, P("data", None))
+                self._wrow_ids = jax.device_put(rid, sh)
+                self._wdecode_fn = mesh_mod.make_sharded_window_decode(
+                    self._mesh, self._soc, n_rows, precision=self._precision
+                )
+            else:
+                ends = wk.pack_window_row_ends(
+                    self._wrow_spans, self._wkeys.shape[1], self._soc
+                )
+                self._wrow_ids = jax.device_put(ends, self._device)
+                soc, p = self._soc, self._precision
+                self._wdecode_fn = jax.jit(
+                    lambda pi, T, E, k, v, r: wk.decode_gammas_windows(
+                        pi, T, E, k, v, soc, r, p
+                    ),
+                    device=self._device,
+                )
+        _, g = self._wdecode_fn(
+            pi_d, T_d, E_d, self._wkeys, self._wvalid, self._wrow_ids
+        )
+        g = np.asarray(g, np.float64)
+        out, off = [], 0
+        for spans in self._wrow_spans:
+            out.append(g[off : off + len(spans)])
+            off += len(spans)
         return out
 
     def map_paths(self):
@@ -454,14 +522,18 @@ class OnePopInferenceManager(_EagerQOps):
         # the gradient-identity path.
         use_ad = os.environ.get("SMCPP_TPU_ESTEP", "direct") == "ad"
         if self._use_windows and not use_ad:
-            # HBM budget gate for the two per-window streams, cheapest
-            # fallback first (measured costs on v5e):
-            #   1. full:      e_all f32 (4 B) + alpha bf16 (2 B) / window / M
-            #   2. alpha remat: drop the alpha stream (~1 extra fwd sweep)
-            #   3. + no e_all:  rebuild lookups per step  (~25% slower)
-            # The combination leaves O(sqrt(L)) state per segment — the
-            # reference's linear-memory analogue is its compressed-row f32
-            # alpha_hat (src/hmm.cpp:59), which has no such cliff to manage.
+            # Per-window stream policy (measured on v5e, 5.5 Gbp bench):
+            # * emission stream e_all (f32, 4 B/window/M): only worth
+            #   materializing when the key table is too large for the
+            #   sweeps' one-hot rebuild (> ONEHOT_MAX_KEYS) — with one-hot
+            #   available, skipping it is BOTH faster (48.2 vs 42.9 Gbp/s;
+            #   the kernel is HBM-bound) and half the memory.
+            # * alpha stream (bf16, 2 B/window/M): stored by default;
+            #   over the HBM budget, alpha-remat recomputes per block from
+            #   snapshots (~2% slower), leaving O(sqrt(L)) state per
+            #   segment — no per-chip genome-size cliff (the reference's
+            #   linear-memory analogue: compressed-row f32 alpha_hat,
+            #   src/hmm.cpp:59).
             import os as _os
 
             from ..ops import window_kernel as wk
@@ -469,19 +541,20 @@ class OnePopInferenceManager(_EagerQOps):
             S, L = self._wkeys.shape
             Mdim = len(self.hidden_states) - 1
             per_dev = S * L * Mdim / max(1, len(self._devices))
-            need_e, need_alpha = per_dev * 4, per_dev * 2
+            e_stream = self.em_idx.n_keys > wk.ONEHOT_MAX_KEYS
+            need = per_dev * 2 + (per_dev * 4 if e_stream else 0)
             budget = float(
                 _os.environ.get("SMCPP_TPU_ESTREAM_BYTES", 6e9)
             )
-            e_stream = True
             alpha_remat = None
-            if need_e + need_alpha > budget:
+            if need > budget:
                 alpha_remat = wk.remat_block_size(L)
-                e_stream = need_e <= budget
+                if e_stream and per_dev * 4 > budget:
+                    e_stream = False  # gather rebuild: slow but O(sqrt L)
                 logger.info(
                     "window streams (%.1f GB/device) over budget (%.1f GB): "
                     "alpha remat ON (block %d)%s",
-                    (need_e + need_alpha) / 1e9, budget / 1e9, alpha_remat,
+                    need / 1e9, budget / 1e9, alpha_remat,
                     "" if e_stream else "; emission stream OFF",
                 )
         if self._mesh is not None:

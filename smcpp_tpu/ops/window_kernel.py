@@ -366,7 +366,7 @@ def contig_boundaries(pi, ops, logs, seg_of_contig, seg_has):
 
 
 def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
-               axis_name=None, alpha_remat=None):
+               axis_name=None, alpha_remat=None, emit_gamma=False):
     """Lockstep alpha/beta sweeps accumulating within-segment statistics.
 
     All per-window state lives in the transposed (M, S) layout so the big
@@ -387,7 +387,12 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
     snapshot per block and recompute each block's alphas on the fly during
     the backward sweep — O(L/B + B) state instead of O(L), at the cost of
     one extra forward sweep (the memory lever the reference gets from its
-    compressed-row float32 alpha_hat, src/hmm.cpp:59)."""
+    compressed-row float32 alpha_hat, src/hmm.cpp:59).
+
+    ``emit_gamma``: also return the per-window posterior stream (L, M, S)
+    in the carry dtype (each valid window's gamma sums to 1) — the
+    window-resolution decode the posterior command aggregates to rows
+    (``decode_gammas_windows``); mutually exclusive with alpha_remat."""
     if precision is None:
         precision = MATMUL_PRECISION
     S, L = keys.shape
@@ -456,7 +461,9 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
         qn = qun / jnp.maximum(jnp.max(qun, axis=0, keepdims=True), tiny)
         qT = jnp.where(v[None, :], qn, qT)
         uT = jnp.where(v[None, :], eT * qT, uT)
-        return (qT, uT, xo, gsum), None
+        # gamma stream stays in the compute dtype: a bf16 stream rounds
+        # each window's posterior at ~4e-3 — visible in decoded row masses
+        return (qT, uT, xo, gsum), (gamma if emit_gamma else None)
 
     def dsc_noe(carry, xs):
         a_l, k, v, vn = xs
@@ -476,16 +483,17 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
             asc, A_in.T.astype(dt), (ekT, validT), unroll=UNROLL,
         )
         if e_all is None:
-            (_, u_start_T, xo, gsum), _ = jax.lax.scan(
+            (_, u_start_T, xo, gsum), gam = jax.lax.scan(
                 dsc_noe, init, (alphas, keysT, validT, vnextT),
                 reverse=True, unroll=UNROLL,
             )
         else:
-            (_, u_start_T, xo, gsum), _ = jax.lax.scan(
+            (_, u_start_T, xo, gsum), gam = jax.lax.scan(
                 dsc, init, (alphas, e_all, keysT, validT, vnextT),
                 reverse=True, unroll=UNROLL,
             )
     else:
+        assert not emit_gamma, "emit_gamma requires alpha_remat=None"
         B = int(alpha_remat)
         assert L % B == 0, (L, B)
         nblk = L // B
@@ -528,6 +536,8 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
     if axis_name is not None:
         xo = jax.lax.psum(xo, axis_name)
         gsum = jax.lax.psum(gsum, axis_name)
+    if emit_gamma:
+        return alpha_end_T.T, u_start_T.T, xo, gsum.T, gam
     return alpha_end_T.T, u_start_T.T, xo, gsum.T
 
 
@@ -560,17 +570,26 @@ def boundary_stats(pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid):
 
 
 def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
-                 e_stream=True, alpha_remat=None):
+                 e_stream=None, alpha_remat=None):
     """Direct Baum-Welch E-step: same contract as ``estep_windows``
     (ll, pi-stat, xisum, gamma_sums), computed without autodiff.
 
-    ``e_stream=False`` skips materializing the (L, M, S) emission stream
-    (the sweeps rebuild lookups per step instead — ~25% slower, but
-    L*M*S*4 bytes less device memory); ``alpha_remat`` trades the
-    (L, M, S) alpha stream for per-block recompute (see stats_pass).
-    Both are selected by the manager's HBM budget gate."""
+    ``e_stream``: materialize the (L, M, S) emission stream in pass 1 for
+    the sweeps to read.  Default (None) = only when the key table is too
+    large for the one-hot rebuild (> ONEHOT_MAX_KEYS): measured on v5e at
+    the 5.5 Gbp bench scale, rebuilding emissions via one-hot matmuls
+    beats streaming e_all 48.2 vs 42.9 Gbp/s — the kernel is HBM-bound
+    and the f32 stream's write+read outweighs the cheap one-hot compute
+    (this inverted between rounds when the sweep loops were unrolled; the
+    gather path for large key tables is still ~2x worse, so e_all stays
+    for those).  ``alpha_remat`` trades the (L, M, S) alpha stream for
+    per-block recompute (see stats_pass; measured ~2% faster still when
+    combined with the budget-gated fallbacks).  The manager's HBM budget
+    gate selects both."""
     if precision is None:
         precision = MATMUL_PRECISION
+    if e_stream is None:
+        e_stream = E.shape[0] > ONEHOT_MAX_KEYS
     if e_stream:
         ops, logs, e_all = segment_operators(
             T, E, keys, valid, precision, emit_e=True
@@ -590,6 +609,106 @@ def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
         pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid
     )
     return ll, pi_stat, xo * T.astype(xo.dtype), gsum
+
+
+def decode_gammas_windows(pi, T, E, keys, valid, seg_of_contig, row_ends,
+                          precision=None):
+    """Row-resolution posterior masses THROUGH the window kernel.
+
+    The backward statistic sweep already computes each window's normalized
+    posterior (M, S); this emits that stream and aggregates windows ->
+    compressed rows as a PREFIX-SUM DIFFERENCE: the segment-major flat
+    order is genomic order (pack_windows assigns segment ids sequentially
+    per contig, padding only at contig tails where gamma is exactly zero),
+    so each row's mass is C[end_r] - C[end_{r-1}] of one cumulative sum.
+    A segment-sum scatter does the same job 25x slower on TPU (measured
+    5.9 s vs 0.23 s at 55M windows — scatter-add runs ~150M elem/s while
+    cumsum+gather-at-sorted-ends stays HBM-bound).  The accumulation is
+    f64: a 55M-window f32 prefix reaches ~5e7, burying O(1) row masses in
+    rounding.  This is the production posterior decode whenever the E-step
+    itself runs on windows and the (L, M, S) gamma stream fits HBM; the
+    row-level ``ops/hmm.py:decode_gammas`` covers the rest.  Reference
+    analogue: gammas materialized inside the E-step,
+    src/hmm.cpp:48-49,147-148.
+
+    row_ends: (n_rows,) int32 flat (segment-major) index of each row's
+    LAST window, strictly increasing (pack_window_row_ends).  Returns
+    (ll, gammas (n_rows, M) f32): each row's gamma sums to its span in
+    windows.
+    """
+    if precision is None:
+        precision = MATMUL_PRECISION
+    ops, logs = segment_operators(T, E, keys, valid, precision)
+    seg_has = jnp.any(valid, axis=1)
+    ll, A_in, Q_end, cvalid = contig_boundaries(
+        pi, ops, logs, seg_of_contig, seg_has
+    )
+    _, _, _, _, gam = stats_pass(
+        T, E, keys, valid, A_in, Q_end, None, precision, emit_gamma=True
+    )  # (L, M, S)
+    Mdim = T.shape[0]
+    flat = jnp.transpose(gam, (2, 0, 1)).reshape(-1, Mdim)
+    # two-level prefix sum: f32 within blocks (prefix <= B, exact enough),
+    # f64 only across the tiny block-total stream — a flat f64 cumsum costs
+    # ~1.5 s of emulated-f64 HBM traffic at 55M windows
+    B = 1024
+    while flat.shape[0] % B:
+        B //= 2
+    nb = flat.shape[0] // B
+    within = jnp.cumsum(flat.reshape(nb, B, Mdim), axis=1)  # f32
+    btot = within[:, -1, :].astype(jnp.float64)
+    bbase = jnp.cumsum(btot, axis=0) - btot  # exclusive block prefixes
+    blk, off = row_ends // B, row_ends % B
+    picked = jnp.take(bbase, blk, axis=0) + jnp.take(
+        within.reshape(-1, Mdim), blk * B + off, axis=0
+    ).astype(jnp.float64)
+    g = jnp.diff(picked, axis=0, prepend=jnp.zeros((1, Mdim), jnp.float64))
+    return ll, jnp.maximum(g, 0.0).astype(jnp.float32)
+
+
+def pack_window_row_ids(spans_list, L, seg_of_contig):
+    """(S, L) global compressed-row index per window, matching the
+    segmentation ``pack_windows`` produced (same L, same segment order).
+    ``spans_list``: one int array of row spans per contig.  Padding
+    windows get the id of the row they follow (harmless: their gamma is
+    exactly zero).  Returns (row_ids, n_rows_total).  Used by the
+    mesh decode (per-shard segment-sum)."""
+    socn = np.asarray(seg_of_contig)
+    S = int(socn.max()) + 1
+    rid = np.zeros((S, L), dtype=np.int32)
+    off = 0
+    for c, spans in enumerate(spans_list):
+        spans = np.asarray(spans, dtype=np.int64)
+        ids = np.repeat(
+            np.arange(off, off + len(spans), dtype=np.int32), spans
+        )
+        for j, seg in enumerate(socn[c]):
+            if seg < 0:
+                break
+            chunk = ids[j * L : (j + 1) * L]
+            rid[seg, : len(chunk)] = chunk
+            if len(chunk) < L:
+                rid[seg, len(chunk):] = chunk[-1] if len(chunk) else off
+        off += len(spans)
+    return rid, off
+
+
+def pack_window_row_ends(spans_list, L, seg_of_contig):
+    """(n_rows,) int32 flat segment-major index of each row's LAST window,
+    strictly increasing — the gather points of the prefix-sum decode
+    (``decode_gammas_windows``).  Segment ids are assigned sequentially
+    per contig by pack_windows, so contig c's windows occupy the flat
+    range [first_seg_c * L, ...] with padding only at the contig's tail."""
+    socn = np.asarray(seg_of_contig)
+    ends = []
+    for c, spans in enumerate(spans_list):
+        base = int(socn[c, 0]) * L
+        within = np.cumsum(np.asarray(spans, dtype=np.int64)) - 1
+        ends.append(base + within)
+    out = np.concatenate(ends)
+    assert out[-1] < np.iinfo(np.int32).max
+    assert np.all(np.diff(out) > 0)
+    return out.astype(np.int32)
 
 
 def remat_block_size(L):

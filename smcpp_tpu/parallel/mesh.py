@@ -236,6 +236,66 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
     )
 
 
+def make_sharded_window_decode(mesh, seg_of_contig, n_rows, precision=None):
+    """Segment-sharded window-kernel posterior decode
+    (ops/window_kernel.py:decode_gammas_windows): each shard sweeps its
+    segments, emits its per-window gamma stream locally, aggregates it to
+    rows with a local segment-sum, and the (n_rows, M) partials psum over
+    the mesh.  f(pi, T, E, keys, valid, row_ids) -> (ll, gammas)."""
+    from ..ops import window_kernel as wk
+
+    op_local = jax.shard_map(
+        partial(wk.segment_operators, precision=precision),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None), P("data", None)),
+        out_specs=(P("data", None, None), P("data")),
+        check_vma=False,
+    )
+
+    def stats_gamma_local(T, E, keys, valid, A_in, Q_end, row_ids):
+        _, _, _, _, gam = wk.stats_pass(
+            T, E, keys, valid, A_in, Q_end, None, precision,
+            emit_gamma=True,
+        )
+        Mdim = T.shape[0]
+        # segment-major flattening: locally sorted row ids (see
+        # ops/window_kernel.py:decode_gammas_windows)
+        flat = jnp.transpose(gam, (2, 0, 1)).reshape(-1, Mdim).astype(
+            jnp.float32
+        )
+        ids = row_ids.reshape(-1)
+        g = jax.ops.segment_sum(
+            flat, ids, num_segments=n_rows, indices_are_sorted=True
+        )
+        return jax.lax.psum(g, "data")
+
+    stats_local = jax.shard_map(
+        stats_gamma_local,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None), P("data", None),
+                  P("data", None), P("data", None), P("data", None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def decode(pi, T, E, keys, valid, row_ids):
+        ops, logs = op_local(T, E, keys, valid)
+        seg_has = jnp.any(valid, axis=1)
+        ll, A_in, Q_end, cvalid = wk.contig_boundaries(
+            pi, ops, logs, seg_of_contig, seg_has
+        )
+        g = stats_local(T, E, keys, valid, A_in, Q_end, row_ids)
+        return ll, g
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data", None))
+    return jax.jit(
+        decode,
+        in_shardings=(repl, repl, repl, data_sh, data_sh, data_sh),
+        out_shardings=(repl, repl),
+    )
+
+
 def make_sharded_window_estep(mesh, seg_of_contig, precision=None):
     """Segment-sharded window-kernel E-step.
 

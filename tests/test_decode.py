@@ -187,3 +187,59 @@ def test_manager_memory_gate_toggles_remat(monkeypatch):
     # tests/test_window_kernel.py::test_estep_direct_alpha_remat_matches
     for a, b in zip(im_full._stats, im_tiny._stats):
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-6)
+
+
+def test_window_decode_matches_row_decode():
+    """The window-kernel decode (per-window gammas + on-device segment
+    sum) must agree with the row-level decode on the same manager."""
+    rng = np.random.RandomState(21)
+    n_rows = 300
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(1, 40, n_rows)
+    data[:, 1] = rng.randint(0, 3, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows)
+    im = _make_im(data)
+    assert im._use_windows and im._window_decode_fits()
+    im.save_gamma = True
+    im.E_step()
+    g_win = im.gammas[0]
+    assert g_win.shape == (n_rows, 6 - 1)
+    np.testing.assert_allclose(g_win.sum(axis=1), data[:, 0], rtol=1e-3)
+
+    # force the row-level decode on the same tensors
+    pi, T, E = im.tensors()
+    import jax.numpy as jnp
+
+    dt = im._estep_dtype
+    args = tuple(
+        jax.device_put(jnp.asarray(np.asarray(x), dt), im._cpu)
+        for x in (pi, T, E)
+    )
+    im2 = _make_im(data)
+    im2._use_windows = False  # route _compute_gammas to the row decode
+    g_row = im2._compute_gammas(*args)[0]
+    # bf16 per-window gamma stream vs f32 row AD decode: agree to stream
+    # rounding (~1e-2 relative on O(span) masses)
+    np.testing.assert_allclose(g_win, g_row, rtol=2e-2, atol=2e-2)
+
+
+def test_window_decode_single_device_matches_mesh():
+    "The cumsum+take (1-device) and segment-sum (mesh) decodes agree."
+    rng = np.random.RandomState(31)
+    n_rows = 250
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(1, 25, n_rows)
+    data[:, 1] = rng.randint(0, 3, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows)
+    im_mesh = _make_im(data)
+    assert im_mesh._mesh is not None and im_mesh._use_windows
+    im_one = _make_im(data, devices=[jax.devices()[0]])
+    assert im_one._mesh is None and im_one._use_windows
+    for im in (im_mesh, im_one):
+        im.save_gamma = True
+        im.E_step()
+    g_m, g_1 = im_mesh.gammas[0], im_one.gammas[0]
+    np.testing.assert_allclose(g_1.sum(axis=1), data[:, 0], rtol=1e-4)
+    np.testing.assert_allclose(g_1, g_m, rtol=1e-4, atol=1e-5)
