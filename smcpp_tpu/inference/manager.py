@@ -298,7 +298,7 @@ class _EagerQOps:
         stream fits the HBM budget, the decode rides the window kernel
         instead: per-window gammas emitted by the backward sweep,
         aggregated to rows on device (prefix-sum difference at row ends on
-        one chip, per-shard segment-sum + psum on a mesh) — measured 0.40 s
+        one chip, per-shard segment-sum + psum on a mesh) — measured 0.49 s
         vs 93 s for the row-level AD decode at the binned C3 scale
         (5.5 Gbp), ~2x the E-step itself."""
         if self._use_windows and self._window_decode_fits():

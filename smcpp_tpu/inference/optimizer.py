@@ -189,7 +189,11 @@ class SMCPPOptimizer:
     # zoomed/confirmation rounds are ODD so the previous round's best point
     # lies exactly on the new grid (its value re-measured in f64)
     _BATCH_ZOOM = 13  # genuine zoom rounds: span still wide
-    _BATCH_CONFIRM = 5  # f64 confirmation when the coarse round converged
+    # f64 confirmation when the coarse round converged: exactly the triple
+    # the parabolic refinement needs — the f64 host objective costs
+    # ~4.5 ms per extra candidate and the confirm grids are the single
+    # largest steady-state M-step term (9 x 29 ms at width 5, C3 scale)
+    _BATCH_CONFIRM = 3
 
     def _batched_argmax(self, f_batch, lo, hi, xatol, log=False,
                         max_rounds=6, coarse0=None):

@@ -635,9 +635,16 @@ def decode_gammas_windows(pi, T, E, keys, valid, seg_of_contig, row_ends,
     LAST window, strictly increasing (pack_window_row_ends).  Returns
     (ll, gammas (n_rows, M) f32): each row's gamma sums to its span in
     windows.
+
+    Default precision is 'tensorfloat32', NOT the E-step's bf16 default:
+    bf16 operator carries put ~0.5-3% noise on the segment-boundary
+    alpha/beta vectors — fine for EM statistics (aggregate-noise robust),
+    visible in user-facing per-row posteriors.  tf32 keeps exact-f32
+    carries (see _carry_dtype); the decode runs once, so the ~1.5x kernel
+    cost is immaterial.
     """
     if precision is None:
-        precision = MATMUL_PRECISION
+        precision = "tensorfloat32"
     ops, logs = segment_operators(T, E, keys, valid, precision)
     seg_has = jnp.any(valid, axis=1)
     ll, A_in, Q_end, cvalid = contig_boundaries(

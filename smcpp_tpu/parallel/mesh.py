@@ -241,8 +241,14 @@ def make_sharded_window_decode(mesh, seg_of_contig, n_rows, precision=None):
     (ops/window_kernel.py:decode_gammas_windows): each shard sweeps its
     segments, emits its per-window gamma stream locally, aggregates it to
     rows with a local segment-sum, and the (n_rows, M) partials psum over
-    the mesh.  f(pi, T, E, keys, valid, row_ids) -> (ll, gammas)."""
+    the mesh.  f(pi, T, E, keys, valid, row_ids) -> (ll, gammas).
+    Precision defaults to tf32 (exact f32 carries) — bf16 operator-carry
+    noise is visible in user-facing per-row posteriors; see
+    decode_gammas_windows."""
     from ..ops import window_kernel as wk
+
+    if precision is None:
+        precision = "tensorfloat32"
 
     op_local = jax.shard_map(
         partial(wk.segment_operators, precision=precision),

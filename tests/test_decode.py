@@ -219,9 +219,9 @@ def test_window_decode_matches_row_decode():
     im2 = _make_im(data)
     im2._use_windows = False  # route _compute_gammas to the row decode
     g_row = im2._compute_gammas(*args)[0]
-    # bf16 per-window gamma stream vs f32 row AD decode: agree to stream
-    # rounding (~1e-2 relative on O(span) masses)
-    np.testing.assert_allclose(g_win, g_row, rtol=2e-2, atol=2e-2)
+    # the decode forces exact-f32 carries (tf32 rung) precisely so the
+    # boundary vectors don't carry bf16 noise into user-facing posteriors
+    np.testing.assert_allclose(g_win, g_row, rtol=2e-3, atol=1e-3)
 
 
 def test_window_decode_single_device_matches_mesh():
