@@ -24,9 +24,13 @@ _config.update("jax_enable_x64", True)
 # programs (E-step kernels, the M-step Q family); caching them on disk
 # makes repeat runs (CV folds, re-fits, parameter sweeps) start in
 # seconds (measured 33.5 -> 18.1 s on the bundled example).  Enabled by
-# default on CPU backends only — remote-compile TPU plugins may not
-# support executable serialization, and that path is unverified; set
-# SMCPP_TPU_COMPILE_CACHE=<dir> (or =1) to force it on, =0 to disable.
+# default on CPU backends only.  Measured on the remote-compile TPU
+# plugin (round 3): executable serialization WORKS (entries written,
+# results correct) but the warm-cache run was ~4x SLOWER than recompiling
+# (783 s vs 201 s for a small estimate) — deserializing executables back
+# through the remote-compile tunnel costs more than compilation, so the
+# cache stays off there.  Set SMCPP_TPU_COMPILE_CACHE=<dir> (or =1) to
+# force it on, =0 to disable.
 _cache = _os.environ.get("SMCPP_TPU_COMPILE_CACHE")
 if _cache is None:
     _plat = _os.environ.get("JAX_PLATFORMS", "")

@@ -389,14 +389,60 @@ class _EagerQOps:
             off += len(spans)
         return out
 
+    def _window_map_paths(self, pi, T, E):
+        "MAP paths through the window max-plus kernel (see viterbi_windows)."
+        from ..ops import window_kernel as wk
+
+        if getattr(self, "_wvit_fn", None) is None:
+            ends = wk.pack_window_row_ends(
+                self._wrow_spans, self._wkeys.shape[1], self._soc
+            )
+            if self._mesh is not None:
+                from ..parallel import mesh as mesh_mod
+
+                self._wvit_ends = jax.device_put(ends)
+                self._wvit_fn = mesh_mod.make_sharded_window_viterbi(
+                    self._mesh, self._soc
+                )
+            else:
+                self._wvit_ends = jax.device_put(ends, self._device)
+                soc = self._soc
+                self._wvit_fn = jax.jit(
+                    lambda pi, T, E, k, v, r: wk.viterbi_windows(
+                        pi, T, E, k, v, soc, r
+                    ),
+                    device=self._device,
+                )
+        dt = self._estep_dtype
+        states = np.asarray(
+            self._wvit_fn(
+                jnp.asarray(np.asarray(pi), dt),
+                jnp.asarray(np.asarray(T), dt),
+                jnp.asarray(np.asarray(E), dt),
+                self._wkeys, self._wvalid, self._wvit_ends,
+            )
+        )
+        out, off = [], 0
+        for spans in self._wrow_spans:
+            out.append(states[off : off + len(spans)].astype(np.int32))
+            off += len(spans)
+        return out
+
     def map_paths(self):
         """Row-resolution MAP (Viterbi) hidden-state paths, one (L_i,) int32
-        array per contig, decoded in ONE batched program
-        (ops/hmm.py:viterbi_paths) — mesh-sharded over contigs when a mesh
-        is present.  Runs float64 (Viterbi scores reach ~-1e5, past float32
-        ranking resolution).  A split row reports the MAP state at the
+        array per contig.  When the E-step runs on windows and the
+        backpointer stream fits HBM, the decode rides the window max-plus
+        kernel (two-level: segment operators -> boundary chains ->
+        parallel within-segment backtrace; f32 scores are safe there
+        because per-window max-normalization keeps state-ranking
+        differences O(1)).  Otherwise ONE batched f64 program over
+        compressed rows (ops/hmm.py:viterbi_paths) — f64 because that
+        decoder accumulates absolute scores ~ -1e5 in a scalar, past f32
+        ranking resolution.  A split row reports the MAP state at the
         original row's END — the same convention as unsplit rows."""
         pi, T, E = self.tensors()
+        if self._use_windows and self._window_decode_fits():
+            return self._window_map_paths(pi, T, E)
         if getattr(self, "_viterbi_fn", None) is None:
             if self._mesh is not None:
                 from ..parallel import mesh as mesh_mod

@@ -673,6 +673,162 @@ def decode_gammas_windows(pi, T, E, keys, valid, seg_of_contig, row_ends,
     return ll, jnp.maximum(g, 0.0).astype(jnp.float32)
 
 
+def viterbi_windows(pi, T, E, keys, valid, seg_of_contig, row_ends):
+    """MAP (Viterbi) decode through the window kernel.
+
+    Two-level max-plus analogue of the decode: (A) a lockstep sweep builds
+    per-segment max-plus transfer operators W[i, s, k] (best path score
+    entry-k -> state-i), carries normalized per segment (a uniform offset
+    never changes argmaxes); (B) tiny per-contig forward/backtrace scans
+    over the segment operators pin the optimal state at every segment
+    boundary; (C) each segment then recovers its interior path
+    independently — a second lockstep sweep from the known entry state
+    storing per-window backpointers, and a lockstep reverse backtrace.
+    Sequential depth is O(L + NS), not O(total windows); everything is
+    batched over segments like the statistic sweeps.  Scores are f32 with
+    per-window max-normalization, so state-ranking differences stay O(1)
+    (the row-level CPU decoder needs f64 because it accumulates absolute
+    scores ~ -1e5 in one scalar; at the binned C3 scale it takes ~178 s
+    vs ~1 s here).  The reference has no MAP decoder.
+
+    Returns (n_rows,) int32: the MAP state at each compressed row's END
+    (``row_ends`` as in decode_gammas_windows).
+    """
+    Wops = viterbi_segment_ops(T, E, keys, valid)
+    seg_entry, seg_exit = viterbi_boundary_states(pi, Wops, seg_of_contig)
+    path = viterbi_segment_paths(T, E, keys, valid, seg_entry, seg_exit)
+    flat = path.T.reshape(-1)  # segment-major = genomic order
+    return jnp.take(flat, row_ends).astype(jnp.int32)
+
+
+def _mp_neg(dt):
+    return jnp.asarray(-1e30, dt)
+
+
+def viterbi_segment_ops(T, E, keys, valid):
+    """Phase A: per-segment max-plus transfer operators (S, i, k) — best
+    path score from entry state k to state i; per-segment normalized (a
+    uniform offset never changes any argmax downstream)."""
+    S, L = keys.shape
+    Mdim = T.shape[0]
+    dt = E.dtype
+    logT_t = jnp.log(T).T.astype(dt)  # [i, j] = log T[j, i]
+    logE = jnp.log(E).astype(dt)
+    eyemp = jnp.where(jnp.eye(Mdim, dtype=bool), 0.0, _mp_neg(dt)).astype(dt)
+
+    def step(W, kv):
+        # W (M_i, S, M_k); scores[j, i, s, k] = logT[j, i] + W[j, s, k]
+        k, v = kv
+        le = logE[k].T  # (M, S)
+        sc = logT_t.T[:, :, None, None] + W[:, None, :, :]  # (j, i, s, k)
+        W2 = jnp.max(sc, axis=0) + le[:, :, None]
+        W2 = W2 - jnp.max(W2, axis=(0, 2), keepdims=True)
+        W = jnp.where(v[None, :, None], W2, W)
+        return W, None
+
+    W0 = jnp.broadcast_to(eyemp[:, None, :], (Mdim, S, Mdim))
+    W, _ = jax.lax.scan(
+        step, W0, (keys.T, valid.T), unroll=min(UNROLL, 4)
+    )
+    return jnp.transpose(W, (1, 0, 2))  # (S, i, k)
+
+
+def viterbi_boundary_states(pi, Wops, seg_of_contig):
+    """Phase B: MAP state at every segment boundary via tiny per-contig
+    max-plus scans over the segment operators.  Returns (seg_entry (S,),
+    seg_exit (S,)) int32 — the optimal state entering/leaving each
+    segment."""
+    socn = np.asarray(seg_of_contig)
+    C, NS = socn.shape
+    S, Mdim, _ = Wops.shape
+    dt = Wops.dtype
+    eyemp = jnp.where(jnp.eye(Mdim, dtype=bool), 0.0, _mp_neg(dt)).astype(dt)
+    pad = socn < 0
+    idx = np.maximum(socn, 0)
+    ops_c = jnp.where(pad[:, :, None, None], eyemp[None, None], Wops[idx])
+    ops_t = jnp.moveaxis(ops_c, 1, 0)  # (NS, C, i, k)
+
+    def fstep(Vc, Wc):
+        sc = Wc + Vc[:, None, :]  # (C, i, k)
+        V2 = jnp.max(sc, axis=2)
+        bp = jnp.argmax(sc, axis=2).astype(jnp.int32)  # entry given exit
+        V2 = V2 - jnp.max(V2, axis=1, keepdims=True)
+        return V2, bp
+
+    V0 = jnp.broadcast_to(
+        jnp.log(jnp.maximum(pi, jnp.finfo(dt).tiny)).astype(dt), (C, Mdim)
+    )
+    Vend, bps = jax.lax.scan(fstep, V0, ops_t)  # bps (NS, C, M)
+    exit_last = jnp.argmax(Vend, axis=1).astype(jnp.int32)  # (C,)
+
+    def btrace(state, bp):
+        prev = jnp.take_along_axis(bp, state[:, None], axis=1)[:, 0]
+        return prev, state  # emit the EXIT state of this segment
+
+    _, exit_states = jax.lax.scan(btrace, exit_last, bps, reverse=True)
+    # entry of segment t = exit of t-1; first segment's entry from bps[0]
+    entry_states = jnp.concatenate(
+        [
+            jnp.take_along_axis(
+                bps[0], exit_states[0][:, None], axis=1
+            ).T,
+            exit_states[:-1],
+        ],
+        axis=0,
+    )  # (NS, C)
+    m = ~pad
+    rows = socn[m]
+    seg_entry = jnp.zeros((S,), jnp.int32).at[rows].set(
+        jnp.moveaxis(entry_states, 0, 1)[m]
+    )
+    seg_exit = jnp.zeros((S,), jnp.int32).at[rows].set(
+        jnp.moveaxis(exit_states, 0, 1)[m]
+    )
+    return seg_entry, seg_exit
+
+
+def viterbi_segment_paths(T, E, keys, valid, seg_entry, seg_exit):
+    """Phase C: interior MAP paths per segment, given boundary states —
+    a forward lockstep sweep storing (L, M, S) int8 backpointers, then a
+    lockstep reverse backtrace.  Returns path (L, S) int32: the MAP state
+    after each window (padding windows repeat the adjacent state)."""
+    S, L = keys.shape
+    Mdim = T.shape[0]
+    dt = E.dtype
+    logT_t = jnp.log(T).T.astype(dt)
+    logE = jnp.log(E).astype(dt)
+
+    def step(V, kv):
+        k, v = kv
+        le = logE[k].T  # (M, S)
+        sc = logT_t.T[:, :, None] + V[:, None, :]  # (j, i, s)
+        V2 = jnp.max(sc, axis=0) + le
+        bp = jnp.argmax(sc, axis=0).astype(jnp.int8)  # (i, s)
+        V2 = V2 - jnp.max(V2, axis=0, keepdims=True)
+        ident = jnp.broadcast_to(
+            jnp.arange(Mdim, dtype=jnp.int8)[:, None], bp.shape
+        )
+        V = jnp.where(v[None, :], V2, V)
+        bp = jnp.where(v[None, :], bp, ident)
+        return V, bp
+
+    Vin = jnp.where(
+        jnp.arange(Mdim)[:, None] == seg_entry[None, :], 0.0, _mp_neg(dt)
+    ).astype(dt)
+    _, bp_all = jax.lax.scan(
+        step, Vin, (keys.T, valid.T), unroll=min(UNROLL, 4)
+    )  # (L, M, S) int8
+
+    def back(state, bp):
+        nxt = jnp.take_along_axis(
+            bp, state[None, :].astype(jnp.int32), axis=0
+        )[0].astype(jnp.int32)
+        return nxt, state  # emit state AFTER this window
+
+    _, path = jax.lax.scan(back, seg_exit, bp_all, reverse=True)
+    return path
+
+
 def pack_window_row_ids(spans_list, L, seg_of_contig):
     """(S, L) global compressed-row index per window, matching the
     segmentation ``pack_windows`` produced (same L, same segment order).

@@ -302,6 +302,61 @@ def make_sharded_window_decode(mesh, seg_of_contig, n_rows, precision=None):
     )
 
 
+def make_sharded_window_viterbi(mesh, seg_of_contig):
+    """Segment-sharded window-kernel MAP decode
+    (ops/window_kernel.py:viterbi_windows): phase A (segment max-plus
+    operators) and phase C (interior backpointers + backtrace) run
+    shard_map'd over segments; the tiny per-contig boundary chains run
+    replicated.  f(pi, T, E, keys, valid, row_ends) -> (n_rows,) int32."""
+    from ..ops import window_kernel as wk
+
+    opsA = jax.shard_map(
+        wk.viterbi_segment_ops,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None), P("data", None)),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )
+
+    def local_paths(T, E, keys, valid, seg_entry, seg_exit, row_ends):
+        path = wk.viterbi_segment_paths(
+            T, E, keys, valid, seg_entry, seg_exit
+        )
+        S_local, L = keys.shape
+        flat = path.T.reshape(-1)
+        base = jax.lax.axis_index("data") * (S_local * L)
+        rel = row_ends - base
+        ok = (rel >= 0) & (rel < S_local * L)
+        vals = jnp.where(
+            ok, jnp.take(flat, jnp.clip(rel, 0, S_local * L - 1)), 0
+        )
+        return jax.lax.psum(vals, "data")
+
+    pc = jax.shard_map(
+        local_paths,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None), P("data", None),
+                  P("data"), P("data"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def vit(pi, T, E, keys, valid, row_ends):
+        Wops = opsA(T, E, keys, valid)
+        seg_entry, seg_exit = wk.viterbi_boundary_states(
+            pi, Wops, seg_of_contig
+        )
+        return pc(T, E, keys, valid, seg_entry, seg_exit, row_ends)
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data", None))
+    return jax.jit(
+        vit,
+        in_shardings=(repl, repl, repl, data_sh, data_sh, repl),
+        out_shardings=repl,
+    )
+
+
 def make_sharded_window_estep(mesh, seg_of_contig, precision=None):
     """Segment-sharded window-kernel E-step.
 

@@ -243,3 +243,38 @@ def test_window_decode_single_device_matches_mesh():
     g_m, g_1 = im_mesh.gammas[0], im_one.gammas[0]
     np.testing.assert_allclose(g_1.sum(axis=1), data[:, 0], rtol=1e-4)
     np.testing.assert_allclose(g_1, g_m, rtol=1e-4, atol=1e-5)
+
+
+def test_window_viterbi_matches_row_viterbi():
+    """map_paths through the window max-plus kernel (mesh + single device)
+    must agree with the f64 row-level Viterbi."""
+    rng = np.random.RandomState(41)
+    n_rows = 220
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(1, 30, n_rows)
+    data[:, 1] = rng.randint(0, 3, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows)
+
+    im = _make_im(data)  # 8-device mesh
+    assert im._use_windows and im._window_decode_fits()
+    p_mesh = im.map_paths()[0]
+
+    im1 = _make_im(data, devices=[jax.devices()[0]])
+    p_one = im1.map_paths()[0]
+
+    # f64 row-level oracle
+    pi, T, E = (np.asarray(x, np.float64) for x in im.tensors())
+    ref = np.asarray(
+        hmm.viterbi_path(
+            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            np.asarray(im._spans[0]), np.asarray(im._keys[0]), im._nbits,
+        )
+    )
+    nsub = int(im._row_reps[0].sum())
+    ends = np.cumsum(im._row_reps[0]) - 1
+    ref_rows = ref[:nsub][ends]
+    assert p_mesh.shape == (n_rows,)
+    # f32 max-plus vs f64: allow rare near-tie flips
+    assert (p_mesh == ref_rows).mean() > 0.99
+    np.testing.assert_array_equal(p_mesh, p_one)
