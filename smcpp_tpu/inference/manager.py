@@ -780,25 +780,7 @@ class OnePopInferenceManager(_EagerQOps):
             svf = model.stepwise_values_fn
             f32, f64 = jnp.float32, jnp.float64
 
-            def tensors32(y, theta, rho, alpha):
-                # spline eval stays f64 (tiny); the grid pipeline runs f32.
-                # Matmul precision pinned to exact f32: the CSFS/emission
-                # contractions otherwise take bf16 MXU passes on TPU, whose
-                # ~1e-2 tensor noise measurably degraded EM convergence
-                # (sawtooth validation: ~390 LL-units-worse fixed points).
-                with jax.default_matmul_precision("highest"):
-                    a = svf(y).astype(f32)
-                    theta = jnp.asarray(theta, f32)
-                    rho = jnp.asarray(rho, f32)
-                    alpha = jnp.asarray(alpha, f32)
-                    pi = ratefunc.initial_distribution(a, grid32)
-                    T = transition.transition_matrix(a, rho, grid32)
-                    bl = csfs_mod.conditioned_sfs(a, grid32, n)
-                    em = csfs_mod.incorporate_theta(bl, theta)
-                    act = ratefunc.average_coal_times(a, grid32)
-                    e2 = em_mod.e2_matrix(act, theta, alpha)
-                    E = em_mod.emission_matrix(idx, em, e2)
-                return pi, T, E
+            tensors32 = self._tensors32_traceable()
 
             def q32(y, theta, rho, alpha, gamma0, xisum, gamma_sums):
                 pi, T, E = tensors32(y, theta, rho, alpha)
@@ -842,6 +824,77 @@ class OnePopInferenceManager(_EagerQOps):
             )
         return self._setup_cache[key]
 
+    def _tensors32_traceable(self):
+        """Traceable f32 tensor pipeline (pi, T, E) for the current grid.
+
+        Spline eval stays f64 (tiny); the grid pipeline runs f32 with
+        matmul precision pinned to exact f32 — bf16 MXU passes in the
+        CSFS/emission contractions measurably degraded EM convergence
+        (sawtooth validation: ~390 LL-units-worse fixed points)."""
+        grid32 = self._grid.astype(np.float32)
+        n, idx = self.n, self.em_idx
+        svf = self.model.stepwise_values_fn
+        f32 = jnp.float32
+
+        def tensors32(y, theta, rho, alpha):
+            with jax.default_matmul_precision("highest"):
+                a = svf(y).astype(f32)
+                theta = jnp.asarray(theta, f32)
+                rho = jnp.asarray(rho, f32)
+                alpha = jnp.asarray(alpha, f32)
+                pi = ratefunc.initial_distribution(a, grid32)
+                T = transition.transition_matrix(a, rho, grid32)
+                bl = csfs_mod.conditioned_sfs(a, grid32, n)
+                em = csfs_mod.incorporate_theta(bl, theta)
+                act = ratefunc.average_coal_times(a, grid32)
+                e2 = em_mod.e2_matrix(act, theta, alpha)
+                E = em_mod.emission_matrix(idx, em, e2)
+            return pi, T, E
+
+        return tensors32
+
+    def _device_setup_ok(self):
+        """Run the E-step's tensor setup as the f32 program ON the E-step
+        device instead of f64 on the host: the host setup + transfer is
+        ~0.1 s of the 0.21 s manager E-step at C3 scale while the
+        accelerator idles.  Same accuracy argument as the fast M-step
+        (f32 pipeline error ~1e-7 relative, far below the kernel's own
+        bf16 statistic noise); the M-step's f64 decisions are untouched.
+        Gated to accelerator devices, f32 E-steps, non-joint models, and
+        the same minimum-work threshold as the fast M-step;
+        SMCPP_TPU_DEVICE_SETUP=0 forces the host path."""
+        import os
+
+        if os.environ.get("SMCPP_TPU_DEVICE_SETUP", "1") == "0":
+            return False
+        # two-pop managers have no static grid (eager JCSFS tensors)
+        if getattr(self, "_joint", False) or getattr(self, "_grid", None) is None:
+            return False
+        if self._estep_dtype != jnp.float32:
+            return False
+        try:
+            if self._device.platform == "cpu":
+                return False
+        except AttributeError:
+            return False
+        work = (self.n + 1) * max(self.n, 1) * self._grid.K
+        return work >= self.FAST_MSTEP_MIN_WORK
+
+    def _setup_fast_tensors(self):
+        "Jitted f32 (pi, T, E) program on the E-step device / mesh."
+        key = ("fast_tensors", id(self._grid))
+        if key not in self._setup_cache:
+            fn = self._tensors32_traceable()
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(self._mesh, P())
+                jfn = jax.jit(fn, out_shardings=(repl, repl, repl))
+            else:
+                jfn = jax.jit(fn, device=self._device)
+            self._setup_cache[key] = jfn
+        return self._setup_cache[key]
+
     def tensors(self):
         if getattr(self, "_joint", False):
             marg = _marginal_model(self.model, self.pid[0])
@@ -856,6 +909,33 @@ class OnePopInferenceManager(_EagerQOps):
     def E_step(self):
         if len(self.hidden_states) == 2 and not self.save_gamma:
             return self._estep_m1()
+        if self._device_setup_ok():
+            pi_d, T_d, E_d = self._setup_fast_tensors()(
+                np.asarray(self.model.y, np.float64),
+                self.theta, self.rho, self.alpha,
+            )
+            if self._use_windows:
+                ll, gamma0, xisum, gamma_sums = self._estep_fn(
+                    pi_d, T_d, E_d, self._wkeys, self._wvalid
+                )
+            elif self._mesh is not None:
+                ll, gamma0, xisum, gamma_sums = self._estep_fn(
+                    pi_d, T_d, E_d, self._spans_sh, self._keys_sh
+                )
+            else:
+                ll, gamma0, xisum, gamma_sums = self._estep_fn(
+                    pi_d, T_d, E_d, self._spans, self._keys
+                )
+            self._ll = float(ll)
+            self._stats = (
+                np.asarray(gamma0, np.float64),
+                np.asarray(xisum, np.float64),
+                np.asarray(gamma_sums, np.float64),
+            )
+            self._check_finite(self._ll, self._stats, pi_d, T_d, E_d)
+            if self.save_gamma:
+                self.gammas = self._compute_gammas(pi_d, T_d, E_d)
+            return self._ll
         pi, T, E = self.tensors()
         dt = self._estep_dtype
         if self._mesh is not None:
@@ -1180,8 +1260,11 @@ class TwoPopInferenceManager(_EagerQOps):
 
     _estep_m1 = OnePopInferenceManager._estep_m1
     # identical E-step control flow (window/direct kernel on the mesh when
-    # the cost model picks it, span kernel otherwise, closed form at M=1)
+    # the cost model picks it, span kernel otherwise, closed form at M=1);
+    # _device_setup_ok is always False here (no static grid)
     E_step = OnePopInferenceManager.E_step
+    _device_setup_ok = OnePopInferenceManager._device_setup_ok
+    FAST_MSTEP_MIN_WORK = OnePopInferenceManager.FAST_MSTEP_MIN_WORK
 
     def loglik(self):
         return self._ll

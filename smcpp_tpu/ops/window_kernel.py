@@ -890,12 +890,19 @@ def remat_block_size(L):
 # Host-side packing
 # ---------------------------------------------------------------------------
 
-def pack_windows(data_list, key_id, pad_key=0, seg_target=4096,
+def pack_windows(data_list, key_id, pad_key=0, seg_target=8192,
                  min_seg_len=64, max_seg_len=16384):
     """Decompress span-compressed contigs to unit windows and cut into
     fixed-length segments.
 
     Returns (keys (S, L) int32, valid (S, L) bool, seg_of_contig (C, NS)).
+
+    ``seg_target`` ~ the target segment count: more, shorter segments
+    mean fewer sequential scan steps (L) across more lockstep lanes (S).
+    Measured on the real C3 data (55M windows, v5e): S=3366/L=16384
+    44.1 Gbp/s, S=6732/L=8192 51.6, S=13442/L=4096 51.8, S=26862/L=2048
+    48.5 — per-step scan overhead dominates at long L, per-segment
+    boundary overhead at short L; 8192 sits on the plateau.
     """
     win = []
     for d in data_list:
