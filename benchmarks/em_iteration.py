@@ -6,7 +6,9 @@ coordinate loop on the CPU backend.
 Measured on one TPU v5e chip (2026-08, scan loops unrolled 8x): E-step
 0.22 s through the manager path (direct two-pass Baum-Welch kernel; this
 config has 155 keys vs the 128 of bench.py), Q_and_grad ~19 ms/eval,
-full EM iteration ~0.53 s steady-state (round 3: width-3 f64 confirm grids) (coarse bracketing rounds run as
+full EM iteration ~0.42 s steady-state (round 3: width-3 f64 confirm grids,
+device-side f32 tensor setup, ONE batched device_get of the statistics —
+each separate fetch costs a full 52 ms tunnel round trip here) (coarse bracketing rounds run as
 padded f32 batches on the TPU, manager._setup_fast, while
 zoom/refinement stays f64 on the host; before the unroll: E-step 0.28 s,
 iteration ~0.9 s; 1.31 s with SMCPP_TPU_FAST_MSTEP=0; 0.82 s with every

@@ -926,6 +926,11 @@ class OnePopInferenceManager(_EagerQOps):
                 ll, gamma0, xisum, gamma_sums = self._estep_fn(
                     pi_d, T_d, E_d, self._spans, self._keys
                 )
+            # ONE batched device->host fetch: each separate np.asarray
+            # costs a full tunnel/PCIe round trip (measured 52 ms here)
+            ll, gamma0, xisum, gamma_sums = jax.device_get(
+                (ll, gamma0, xisum, gamma_sums)
+            )
             self._ll = float(ll)
             self._stats = (
                 np.asarray(gamma0, np.float64),
@@ -960,6 +965,9 @@ class OnePopInferenceManager(_EagerQOps):
             ll, gamma0, xisum, gamma_sums = self._estep_fn(
                 pi_d, T_d, E_d, self._spans, self._keys
             )
+        ll, gamma0, xisum, gamma_sums = jax.device_get(
+            (ll, gamma0, xisum, gamma_sums)
+        )
         self._ll = float(ll)
         self._stats = (
             np.asarray(gamma0, np.float64),
