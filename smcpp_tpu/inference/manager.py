@@ -336,14 +336,50 @@ class _EagerQOps:
             out.append(gi)
         return out
 
-    def _window_decode_fits(self):
-        "Gamma (f32) + alpha (bf16) streams within the HBM budget per device."
+    # -- one HBM budget, three window-stream consumers -------------------
+    # All per-window-state stream gates go through these two helpers so the
+    # byte assumptions cannot drift apart (they did: the E-step budgeted a
+    # bf16 alpha carry even after precision escalation made it f32, and the
+    # Viterbi reused the gamma decode's 6 B although its stream is 1 B).
+
+    @staticmethod
+    def _hbm_budget():
         import os
 
+        return float(os.environ.get("SMCPP_TPU_ESTREAM_BYTES", 6e9))
+
+    def _window_stream_bytes(self, bytes_per_state):
+        "Per-device bytes of a (windows x M) stream at bytes_per_state/elem."
         S, L = self._wkeys.shape
         Mdim = len(self.hidden_states) - 1
-        need = S * L * Mdim * (4 + 2) / max(1, len(self._devices))
-        return need <= float(os.environ.get("SMCPP_TPU_ESTREAM_BYTES", 6e9))
+        return S * L * Mdim * bytes_per_state / max(1, len(self._devices))
+
+    def _alpha_carry_bytes(self, precision=None):
+        "Itemsize of the E-step alpha carry at the EFFECTIVE precision."
+        from ..ops import window_kernel as wk
+
+        p = precision if precision is not None else self.precision
+        return jnp.dtype(
+            wk._carry_dtype(p, jnp.dtype(self._estep_dtype))
+        ).itemsize
+
+    def _window_decode_fits(self):
+        """Gamma decode streams within budget: the decode runs at the tf32
+        rung (f32 carries), so alpha (4 B) + gamma (4 B) + the transient
+        transposed/prefix copies of the gamma stream (~4 B concurrent)."""
+        return self._window_stream_bytes(12) <= self._hbm_budget()
+
+    def _window_viterbi_fits(self):
+        "MAP decode: int8 backpointer stream + int32 path (L, S) ~ 2 B."
+        return self._window_stream_bytes(2) <= self._hbm_budget()
+
+    def _decode_precision(self):
+        """Posterior decodes never run below the tensorfloat32 rung: bf16
+        operator carries put visible noise on segment-boundary posteriors
+        (decode_gammas_windows docstring), and an EXPLICIT --precision
+        default must not silently buy a worse decode than no flag."""
+        p = self.precision
+        return p if p == "highest" else "tensorfloat32"
 
     def _window_decode(self, pi_d, T_d, E_d):
         from ..ops import window_kernel as wk
@@ -359,20 +395,26 @@ class _EagerQOps:
                 )
                 pad = self._wkeys.shape[0] - rid.shape[0]
                 if pad:
+                    # pad with n_rows (out of range -> dropped by
+                    # segment_sum), NOT 0: ids must stay globally sorted
+                    # for the indices_are_sorted hint, and the padded
+                    # segments sort after every real one
                     rid = np.concatenate(
-                        [rid, np.zeros((pad, rid.shape[1]), rid.dtype)]
+                        [rid, np.full((pad, rid.shape[1]), n_rows,
+                                      rid.dtype)]
                     )
                 sh = NamedSharding(self._mesh, P("data", None))
                 self._wrow_ids = jax.device_put(rid, sh)
                 self._wdecode_fn = mesh_mod.make_sharded_window_decode(
-                    self._mesh, self._soc, n_rows, precision=self._precision
+                    self._mesh, self._soc, n_rows,
+                    precision=self._decode_precision(),
                 )
             else:
                 ends = wk.pack_window_row_ends(
                     self._wrow_spans, self._wkeys.shape[1], self._soc
                 )
                 self._wrow_ids = jax.device_put(ends, self._device)
-                soc, p = self._soc, self._precision
+                soc, p = self._soc, self._decode_precision()
                 self._wdecode_fn = jax.jit(
                     lambda pi, T, E, k, v, r: wk.decode_gammas_windows(
                         pi, T, E, k, v, soc, r, p
@@ -441,10 +483,17 @@ class _EagerQOps:
         ranking resolution.  A split row reports the MAP state at the
         original row's END — the same convention as unsplit rows."""
         pi, T, E = self.tensors()
-        if self._use_windows and self._window_decode_fits():
+        if self._use_windows and self._window_viterbi_fits():
             return self._window_map_paths(pi, T, E)
         if getattr(self, "_viterbi_fn", None) is None:
-            if self._mesh is not None:
+            # f64 only executes natively on CPU meshes; on accelerator
+            # meshes the row-level decode stays one batched CPU program
+            # (scores reach ~-1e5, past f32 ranking resolution — the
+            # window max-plus path above is the fast accelerator decode)
+            mesh_is_cpu = self._mesh is not None and all(
+                d.platform == "cpu" for d in self._devices
+            )
+            if mesh_is_cpu:
                 from ..parallel import mesh as mesh_mod
 
                 self._viterbi_fn = mesh_mod.make_sharded_viterbi(
@@ -580,22 +629,21 @@ class OnePopInferenceManager(_EagerQOps):
             #   segment — no per-chip genome-size cliff (the reference's
             #   linear-memory analogue: compressed-row f32 alpha_hat,
             #   src/hmm.cpp:59).
-            import os as _os
-
             from ..ops import window_kernel as wk
 
-            S, L = self._wkeys.shape
-            Mdim = len(self.hidden_states) - 1
-            per_dev = S * L * Mdim / max(1, len(self._devices))
+            L = self._wkeys.shape[1]
+            # alpha carry itemsize follows the EFFECTIVE precision: after
+            # raise_precision() escalates past bf16, carries are f32 and
+            # the stream doubles — the gate must see that (it previously
+            # assumed 2 B unconditionally and could OOM mid-EM)
+            ab = self._alpha_carry_bytes(p)
             e_stream = self.em_idx.n_keys > wk.ONEHOT_MAX_KEYS
-            need = per_dev * 2 + (per_dev * 4 if e_stream else 0)
-            budget = float(
-                _os.environ.get("SMCPP_TPU_ESTREAM_BYTES", 6e9)
-            )
+            need = self._window_stream_bytes(ab + (4 if e_stream else 0))
+            budget = self._hbm_budget()
             alpha_remat = None
             if need > budget:
                 alpha_remat = wk.remat_block_size(L)
-                if e_stream and per_dev * 4 > budget:
+                if e_stream and self._window_stream_bytes(4) > budget:
                     e_stream = False  # gather rebuild: slow but O(sqrt L)
                 logger.info(
                     "window streams (%.1f GB/device) over budget (%.1f GB): "

@@ -755,9 +755,11 @@ def viterbi_boundary_states(pi, Wops, seg_of_contig):
         V2 = V2 - jnp.max(V2, axis=1, keepdims=True)
         return V2, bp
 
-    V0 = jnp.broadcast_to(
-        jnp.log(jnp.maximum(pi, jnp.finfo(dt).tiny)).astype(dt), (C, Mdim)
-    )
+    # zero-probability initial states must carry the max-plus 'impossible'
+    # sentinel, not log(tiny) ~ -87 — per-segment operator spreads exceed
+    # that, which would let a MAP path start in a pi == 0 state
+    logpi = jnp.where(pi > 0, jnp.log(jnp.maximum(pi, 1e-300)), _mp_neg(dt))
+    V0 = jnp.broadcast_to(logpi.astype(dt), (C, Mdim))
     Vend, bps = jax.lax.scan(fstep, V0, ops_t)  # bps (NS, C, M)
     exit_last = jnp.argmax(Vend, axis=1).astype(jnp.int32)  # (C,)
 
