@@ -111,10 +111,12 @@ def pack_observations(data_list, key_id, chunk, max_span=None):
     row became — decode outputs (posterior gammas, Viterbi paths) must be
     re-aggregated through it to line back up with the caller's rows.
     """
+    from ..ops.window_kernel import rows_to_key_ids
+
     raw = []
     for d in data_list:
         s = d[:, 0].astype(np.int64)
-        k = np.array([key_id[tuple(row)] for row in d[:, 1:]], dtype=np.int32)
+        k = rows_to_key_ids(d[:, 1:], key_id)
         raw.append((s, k))
     if max_span is None:
         max_span = _best_max_span([s for s, _ in raw])
@@ -246,6 +248,13 @@ class _EagerQOps:
         TPU).  Shared by the one- and two-population managers — the
         reference likewise runs both through the same parallel HMM
         machinery (src/inference_manager.cpp:525-550)."""
+        if len(self.hidden_states) == 2:
+            # single hidden interval (the stage-1 warm start / split
+            # search): the E-step is the closed form (_estep_m1) and no
+            # kernel ever runs — decompressing the raw stream to unit
+            # windows here cost ~90 s + GBs of host RAM at 1 Gbp
+            self._use_windows = False
+            return
         n_rows = int((spans > 0).sum())
         window_cost = self._total_bases
         span_cost = n_rows * 2 * self._nbits * 30

@@ -892,6 +892,15 @@ def remat_block_size(L):
 # Host-side packing
 # ---------------------------------------------------------------------------
 
+def rows_to_key_ids(obs, key_id):
+    """Vectorized observation-row -> key-id mapping: dict lookups only on
+    the (few hundred) distinct rows instead of every row (a Python loop
+    over ~15M rows cost ~50 s at raw C3 scale)."""
+    uniq, inv = np.unique(obs, axis=0, return_inverse=True)
+    lut = np.array([key_id[tuple(r)] for r in uniq], dtype=np.int32)
+    return lut[inv]
+
+
 def pack_windows(data_list, key_id, pad_key=0, seg_target=8192,
                  min_seg_len=64, max_seg_len=16384):
     """Decompress span-compressed contigs to unit windows and cut into
@@ -909,7 +918,7 @@ def pack_windows(data_list, key_id, pad_key=0, seg_target=8192,
     win = []
     for d in data_list:
         s = d[:, 0].astype(np.int64)
-        k = np.array([key_id[tuple(row)] for row in d[:, 1:]], dtype=np.int32)
+        k = rows_to_key_ids(np.asarray(d)[:, 1:], key_id)
         win.append(np.repeat(k, s))
     W = sum(len(w) for w in win)
     L = int(2 ** np.ceil(np.log2(max(W / seg_target, 1.0))))
