@@ -1,0 +1,64 @@
+"""Large-scale accuracy regression: the 1 Gbp parameter-recovery bound.
+
+Pins the benchmark recorded in benchmarks/results/large_fit_r4.json (full
+two-stage `estimate` on 1 Gbp of simulated data from a known smooth truth,
+measured on one TPU chip: median abs log-N error 0.144, p90 0.358).  The
+full run needs the cached simulated contigs (~1 Gbp on disk) and either a
+TPU chip or ~CPU-hours, so it is opt-in: set SMCPP_TPU_RUN_LARGE=1 with the
+cache prepped (`benchmarks/large_fit_validation.py --prep`).
+
+The reference's analogous accuracy claims are its paper-scale fits
+(/root/reference/smcpp/commands/cite.py:8-9) — never re-run in CI either.
+"""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+CACHE = os.path.join(os.path.expanduser("~"), ".cache", "smcpp_tpu", "large_fit")
+BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)),
+    "benchmarks", "large_fit_validation.py",
+)
+
+# Regression bounds: the recorded r4 result (0.1444 / 0.3575) plus headroom
+# for EM stochasticity (GMM hidden-state sampling) — a regression that
+# matters (e.g. a broken E-step) blows these by integer factors.
+MEDIAN_BOUND = 0.25
+P90_BOUND = 0.55
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("SMCPP_TPU_RUN_LARGE") != "1",
+    reason="1 Gbp fit: opt-in via SMCPP_TPU_RUN_LARGE=1 (needs prepped "
+    "cache + TPU or CPU-hours)",
+)
+def test_large_fit_accuracy_bound():
+    assert len(glob.glob(os.path.join(CACHE, "sim*.smc.gz"))) == 4, (
+        "run benchmarks/large_fit_validation.py --prep first"
+    )
+    out = subprocess.run(
+        [sys.executable, BENCH, "--run"],
+        capture_output=True, text=True, timeout=7200,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["median_abs_log_err"] <= MEDIAN_BOUND, res
+    assert res["p90_abs_log_err"] <= P90_BOUND, res
+
+
+def test_recorded_result_within_bounds():
+    "The committed benchmark artifact itself satisfies the pinned bounds."
+    fn = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        "benchmarks", "results", "large_fit_r4.json",
+    )
+    rec = json.load(open(fn))["result"]
+    assert rec["gbp"] == 1.0
+    assert rec["median_abs_log_err"] <= MEDIAN_BOUND
+    assert rec["p90_abs_log_err"] <= P90_BOUND
