@@ -62,6 +62,13 @@ class Command:
             "--process-id", type=int, default=None, metavar="I",
             help="this process's rank in [0, N)",
         )
+        dist.add_argument(
+            "--replicated-data", action="store_true",
+            help="load the FULL dataset on every process instead of the "
+                 "default host-local ingestion (each process loads and "
+                 "filters only its own contiguous shard of the input "
+                 "files); required for posterior-decode workflows",
+        )
 
     def main(self, args):
         if getattr(args, "devices", None):

@@ -427,6 +427,7 @@ class Chunk(Filter):
 @dataclass
 class CountMutations(Filter):
     w: int = 100
+    distributed: bool = False
 
     def run(self, contigs):
         mc = []
@@ -435,7 +436,15 @@ class CountMutations(Filter):
             for m, nm in zip(muts, nmiss):
                 if nm > 0.5 * self.w:
                     mc.append(m * self.w / nm)
-        self.counts = np.array(mc)
+        self.counts = np.array(mc, dtype=np.float64)
+        if self.distributed:
+            # host-local ingestion: gather every process's windowed counts
+            # in process (= file) order, reproducing the single-driver
+            # ordering exactly — the downstream GMM (analysis.py
+            # _empirical_tmrca) is order-sensitive through its k-means init
+            from ..parallel import hostlocal
+
+            self.counts = hostlocal.allgather_concat(self.counts, ncols=1)
         return contigs
 
 
@@ -464,8 +473,19 @@ class BreakLongSpans(Filter):
         ]
 
 
+def _global_count(n, distributed):
+    "Total surviving-contig count across processes (host-local ingestion)."
+    if distributed:
+        from ..parallel import hostlocal
+
+        return int(hostlocal.allreduce_sum(np.int64(n)))
+    return n
+
+
 @dataclass
 class DropUninformativeContigs(Filter):
+    distributed: bool = False
+
     def run(self, contigs):
         def n_var(c):
             d = c.data
@@ -474,7 +494,7 @@ class DropUninformativeContigs(Filter):
             ).sum()
 
         ret = [c for c in contigs if n_var(c) > 0]
-        if not ret:
+        if _global_count(len(ret), self.distributed) == 0:
             raise RuntimeError("No contigs have mutation data.")
         return ret
 
@@ -482,10 +502,11 @@ class DropUninformativeContigs(Filter):
 @dataclass
 class DropSmallContigs(Filter):
     cutoff: int = 100000
+    distributed: bool = False
 
     def run(self, contigs):
         ret = [c for c in contigs if len(c) > self.cutoff]
-        if not ret:
+        if _global_count(len(ret), self.distributed) == 0:
             raise RuntimeError("All contigs are too small.")
         return ret
 
@@ -493,6 +514,8 @@ class DropSmallContigs(Filter):
 @dataclass
 class Watterson(Filter):
     "Watterson's theta estimator (data_filter.py:301-322)."
+
+    distributed: bool = False
 
     def run(self, contigs):
         num = denom = 0.0
@@ -510,6 +533,12 @@ class Watterson(Filter):
             denom += (
                 spans[nz] * (np.log(ss) + 0.5 / ss + 0.57721)
             ).sum()
+        if self.distributed:
+            from ..parallel import hostlocal
+
+            num, denom = hostlocal.allreduce_sum(
+                np.array([num, denom], np.float64)
+            )
         self.theta_hat = num / denom
         logger.debug("watterson: %f", self.theta_hat)
         return contigs

@@ -95,6 +95,30 @@ def load_contig(fn):
     return Contig(pid=pid, data=np.ascontiguousarray(A), n=n, a=a, fn=str(fn))
 
 
+def load_header(fn):
+    """Parse ONLY the ``# SMC++ {json}`` header line: (pid tuple, n, a).
+
+    O(bytes-of-one-line) — lets every process in a multi-host job learn the
+    population structure of ALL files while loading full data only for its
+    own shard (parallel/hostlocal.py).  Applies the same
+    distinguished-pair-first normalization as load_contig."""
+    with optional_gzip(fn, "rt") as f:
+        first = f.readline().strip()
+    if not first.startswith("# SMC++"):
+        raise RuntimeError(f"{fn} is not in SMC++ format")
+    attrs = json.loads(first[7:])
+    if "pids" not in attrs:
+        raise RuntimeError("Data format is too old. Re-run vcf2smc.")
+    a = [len(d) for d in attrs["dist"]]
+    n = [len(u) for u in attrs["undist"]]
+    pid = tuple(attrs["pids"])
+    if len(a) == 2 and a[0] == 0 and a[1] == 2:
+        n = n[::-1]
+        a = a[::-1]
+        pid = pid[::-1]
+    return pid, n, a
+
+
 def files_from_command_line_args(args):
     ret = []
     for f in args:

@@ -21,6 +21,12 @@ logger = logging.getLogger(__name__)
 
 
 class BaseAnalysis:
+    # Host-local multi-host ingestion (parallel/hostlocal.py) is opted in
+    # per analysis class: the one-population Analysis supports it; the
+    # split workflow still runs the replicated driver (its managers have
+    # no host-local placement yet).
+    supports_hostlocal = False
+
     def __init__(self, files, args):
         self._args = args
         self._N0 = 0.5e-4 / args.mu  # so that theta == 1e-4 (base.py:26-28)
@@ -34,22 +40,62 @@ class BaseAnalysis:
         if getattr(args, "unfold", False):
             args.polarization_error = 0.0
 
+        from ..parallel import hostlocal
+
+        multiproc = hostlocal.active() and not getattr(
+            args, "replicated_data", False
+        )
+        self._hostlocal = multiproc and type(self).supports_hostlocal
+        self._headers = None
+        if multiproc and not self._hostlocal:
+            logger.warning(
+                "host-local ingestion is not supported for %s; every "
+                "process loads the full dataset (replicated driver)",
+                type(self).__name__,
+            )
+        if self._hostlocal:
+            import jax
+
+            from ..data import format as fmt
+
+            all_files = fmt.files_from_command_line_args(files)
+            # every process reads only the one-line headers of ALL files
+            # (population structure, sample sizes) and full data for its
+            # own contiguous shard
+            self._headers = [fmt.load_header(f) for f in all_files]
+            files = hostlocal.shard_files(all_files)
+            logger.info(
+                "host-local ingestion: process %d/%d loads %d of %d files",
+                jax.process_index(), jax.process_count(),
+                len(files), len(all_files),
+            )
+
         pipe = self._pipeline = df.DataPipeline(files)
         pipe.add_filter(load_data=df.LoadData(cores=getattr(args, 'cores', None)))
         pipe.add_filter(df.RecodeNonseg(cutoff=getattr(args, "nonseg_cutoff", None)))
         pipe.add_filter(df.Compress())
         pipe.add_filter(df.BreakLongSpans(cutoff=100000))
-        pipe.add_filter(df.DropSmallContigs(100000))
-        pipe.add_filter(watterson=df.Watterson())
+        pipe.add_filter(df.DropSmallContigs(100000, distributed=self._hostlocal))
+        pipe.add_filter(watterson=df.Watterson(distributed=self._hostlocal))
         pipe.add_filter(
             mutation_counts=df.CountMutations(
-                w=int(2e-3 * self._N0 / self._rho)
+                w=int(2e-3 * self._N0 / self._rho),
+                distributed=self._hostlocal,
             )
         )
 
     # ------------------------------------------------------------------
     @property
     def populations(self):
+        if self._headers is not None:
+            # global population list from the headers, in first-appearance
+            # (global file) order — identical on every process
+            pops = []
+            for pid, _n, _a in self._headers:
+                for x in pid:
+                    if x not in pops:
+                        pops.append(x)
+            return tuple(pops)
         return self._pipeline["load_data"].populations
 
     @property
@@ -70,6 +116,16 @@ class BaseAnalysis:
     def _init_inference_manager(self, polarization_error, hs):
         d = {}
         max_n = {}
+        if self._headers is not None:
+            # the pid universe and the sample-size maxima come from the
+            # global headers: a process's local shard may miss a pid
+            # entirely, yet every process must construct the same managers
+            # in the same order (their setup collectives must line up)
+            for pid, n, _a in self._headers:
+                d.setdefault(pid, [])
+                max_n[pid] = int(
+                    np.maximum(max_n.get(pid, -1), n[0] if len(n) else 0)
+                )
         for c in self.contigs:
             d.setdefault(c.pid, []).append(c)
             max_n.setdefault(c.pid, -1)
@@ -81,6 +137,7 @@ class BaseAnalysis:
             im = OnePopInferenceManager(
                 max_n[pid], data, hs, pid, polarization_error,
                 precision=getattr(self._args, "precision", None),
+                local_data=self._hostlocal,
             )
             im.set_model(self._model)
             im.theta = self._theta
@@ -234,6 +291,8 @@ class BaseAnalysis:
 class Analysis(BaseAnalysis):
     "One-population estimation with two-stage initialization (analysis.py)."
 
+    supports_hostlocal = True
+
     def __init__(self, files, args):
         super().__init__(files, args)
         if self.npop != 1:
@@ -268,7 +327,9 @@ class Analysis(BaseAnalysis):
         pipe.add_filter(df.RecodeMonomorphic())
         pipe.add_filter(df.Compress())
         pipe.add_filter(df.Validate())
-        pipe.add_filter(df.DropUninformativeContigs())
+        pipe.add_filter(
+            df.DropUninformativeContigs(distributed=self._hostlocal)
+        )
         pipe.add_filter(df.Summarize())
         try:
             self._empirical_tmrca(2 * args.knots)

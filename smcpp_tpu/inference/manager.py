@@ -113,6 +113,11 @@ def pack_observations(data_list, key_id, chunk, max_span=None):
     """
     from ..ops.window_kernel import rows_to_key_ids
 
+    if not data_list:
+        # empty local shard in a host-local multi-host job: zero contigs,
+        # keep the padded-L invariant so downstream shapes stay valid
+        return (np.zeros((0, chunk), np.int32), np.zeros((0, chunk), np.int32),
+                [])
     raw = []
     for d in data_list:
         s = d[:, 0].astype(np.int64)
@@ -255,6 +260,25 @@ class _EagerQOps:
             # windows here cost ~90 s + GBs of host RAM at 1 Gbp
             self._use_windows = False
             return
+        if getattr(self, "_local_data", False):
+            from ..parallel import hostlocal
+
+            # Host-local pods always run the window kernel: it is the
+            # production choice at every at-scale config (BASELINE C3-C5),
+            # and the span kernel's (C, Lmax) layout has no host-local
+            # placement.  Each process packs only ITS contigs; the global
+            # seg_of_contig (identical everywhere) keeps the jitted
+            # program identical across processes.
+            self._use_windows = True
+            self._wkeys, self._wvalid, self._soc = (
+                hostlocal.pack_windows_local(
+                    data_list, self.em_idx.key_id(), self._mesh
+                )
+            )
+            # window->row decode would need globally gathered row spans;
+            # decode commands run replicated ingestion instead
+            self._wrow_spans = None
+            return
         n_rows = int((spans > 0).sum())
         window_cost = self._total_bases
         span_cost = n_rows * 2 * self._nbits * 30
@@ -310,6 +334,12 @@ class _EagerQOps:
         one chip, per-shard segment-sum + psum on a mesh) — measured 0.49 s
         vs 93 s for the row-level AD decode at the binned C3 scale
         (5.5 Gbp), ~2x the E-step itself."""
+        if getattr(self, "_local_data", False):
+            raise NotImplementedError(
+                "posterior decode under host-local ingestion is not "
+                "supported yet — run decode workflows with "
+                "--replicated-data (every process loads the full dataset)"
+            )
         if self._use_windows and self._window_decode_fits():
             return self._window_decode(pi_d, T_d, E_d)
         if getattr(self, "_decode_fn", None) is None:
@@ -548,6 +578,7 @@ class OnePopInferenceManager(_EagerQOps):
         estep_dtype=jnp.float32,
         devices=None,
         precision=None,
+        local_data=False,
     ):
         self.n = int(n)
         self.pid = pid
@@ -557,6 +588,10 @@ class OnePopInferenceManager(_EagerQOps):
         self._estep_dtype = estep_dtype
         self._cpu = _cpu_device()
         self._devices = _resolve_devices(compute_device, devices)
+        # host-local ingestion (parallel/hostlocal.py): ``data_list`` holds
+        # only THIS process's contig shard; aggregates below are
+        # all-reduced and the window arrays are assembled shard-by-shard
+        self._local_data = bool(local_data) and jax.process_count() > 1
         # staging / single-device target: prefer a device THIS process
         # addresses (devices[0] may live on another host in a pod job)
         _local = [d for d in self._devices
@@ -568,16 +603,29 @@ class OnePopInferenceManager(_EagerQOps):
 
             self._mesh = mesh_mod.make_mesh(self._devices)
 
-        all_keys = np.unique(
-            np.concatenate([d[:, 1:] for d in data_list], axis=0), axis=0
-        )
+        if self._local_data:
+            from ..parallel import hostlocal
+
+            if self._mesh is None:
+                raise ValueError(
+                    "host-local ingestion needs a multi-device mesh"
+                )
+            lk = (
+                np.concatenate([d[:, 1:] for d in data_list], axis=0)
+                if data_list
+                else np.zeros((0, 0), np.int32)
+            )
+            all_keys = hostlocal.global_unique_rows(lk)
+        else:
+            all_keys = np.unique(
+                np.concatenate([d[:, 1:] for d in data_list], axis=0), axis=0
+            )
         self.em_idx = em_mod.build_emission_index(
             all_keys, self.n, na=2, polarization_error=polarization_error
         )
         spans, keys, self._row_reps = pack_observations(
             data_list, self.em_idx.key_id(), chunk
         )
-        self._nbits = max(1, int(spans.max()).bit_length())
         if self._mesh is None:
             self._spans = jax.device_put(spans, self._device)
             self._keys = jax.device_put(keys, self._device)
@@ -586,13 +634,31 @@ class OnePopInferenceManager(_EagerQOps):
             # shardings (a committed single-device copy would be wasted,
             # and devices[0] may be another host's in a pod job)
             self._spans, self._keys = spans, keys
+        max_span = int(spans.max(initial=0))
         self._total_bases = float(sum(d[:, 0].sum() for d in data_list))
         self._key_counts = np.bincount(
             keys.ravel(),
             weights=spans.ravel().astype(np.float64),
             minlength=self.em_idx.n_keys,
-        )
+            # bincount returns int64 on EMPTY input even with float weights;
+            # pin f64 so an empty host-local shard contributes the same
+            # dtype to the allreduce as every other process
+        ).astype(np.float64)
         self._n_contigs = spans.shape[0]
+        if self._local_data:
+            # global aggregates: the closed-form M=1 E-step, the kernel
+            # cost model, and the M-step all consume TOTAL statistics
+            max_span = int(hostlocal.allreduce_max(np.int64(max_span)))
+            self._total_bases = float(
+                hostlocal.allreduce_sum(np.float64(self._total_bases))
+            )
+            self._key_counts = np.asarray(
+                hostlocal.allreduce_sum(self._key_counts), np.float64
+            )
+            self._n_contigs = int(
+                hostlocal.allreduce_sum(np.int64(self._n_contigs))
+            )
+        self._nbits = max(1, max_span.bit_length())
 
         self._init_kernel_choice(data_list, spans)
 
@@ -607,7 +673,15 @@ class OnePopInferenceManager(_EagerQOps):
         self._ll = None
         self.gammas = None
 
-        if self._mesh is not None and not self._use_windows:
+        if (
+            self._mesh is not None
+            and not self._use_windows
+            and not self._local_data
+        ):
+            # span-kernel staging replicates the host arrays across
+            # processes (device_put asserts equality); host-local shards
+            # are per-process by design and only ever run the window
+            # kernel (M > 1) or the closed-form M=1 E-step
             from ..parallel import mesh as mesh_mod
 
             self._spans_sh, self._keys_sh = mesh_mod.shard_batch(
@@ -1255,7 +1329,10 @@ class TwoPopInferenceManager(_EagerQOps):
             keys.ravel(),
             weights=spans.ravel().astype(np.float64),
             minlength=self.em_idx.n_keys,
-        )
+            # bincount returns int64 on EMPTY input even with float weights;
+            # pin f64 so an empty host-local shard contributes the same
+            # dtype to the allreduce as every other process
+        ).astype(np.float64)
         self._n_contigs = spans.shape[0]
 
         # same kernel cost model + mesh staging as the one-pop manager

@@ -901,6 +901,43 @@ def rows_to_key_ids(obs, key_id):
     return lut[inv]
 
 
+def decompress_to_windows(data_list, key_id):
+    "Per-contig unit-window key-id streams from span-compressed rows."
+    win = []
+    for d in data_list:
+        s = d[:, 0].astype(np.int64)
+        k = rows_to_key_ids(np.asarray(d)[:, 1:], key_id)
+        win.append(np.repeat(k, s))
+    return win
+
+
+def window_segment_length(W, seg_target=8192, min_seg_len=64,
+                          max_seg_len=16384):
+    """Segment length L for a total of W windows (see pack_windows).
+
+    Factored out so multi-host packing (parallel/hostlocal.py) can compute
+    the SAME L on every process from the global window count."""
+    L = int(2 ** np.ceil(np.log2(max(W / seg_target, 1.0))))
+    L = int(np.clip(L, min_seg_len, max_seg_len))
+    return -(-L // RESCALE_EVERY) * RESCALE_EVERY
+
+
+def cut_segments(win, L):
+    """Cut per-contig window streams into length-<=L pieces.
+
+    Returns (segs, seg_ids): the flat segment list and, per contig, the
+    indices of its segments in stream order."""
+    segs = []
+    seg_ids = []
+    for w in win:
+        ids = []
+        for off in range(0, len(w), L):
+            ids.append(len(segs))
+            segs.append(w[off : off + L])
+        seg_ids.append(ids)
+    return segs, seg_ids
+
+
 def pack_windows(data_list, key_id, pad_key=0, seg_target=8192,
                  min_seg_len=64, max_seg_len=16384):
     """Decompress span-compressed contigs to unit windows and cut into
@@ -915,23 +952,10 @@ def pack_windows(data_list, key_id, pad_key=0, seg_target=8192,
     48.5 — per-step scan overhead dominates at long L, per-segment
     boundary overhead at short L; 8192 sits on the plateau.
     """
-    win = []
-    for d in data_list:
-        s = d[:, 0].astype(np.int64)
-        k = rows_to_key_ids(np.asarray(d)[:, 1:], key_id)
-        win.append(np.repeat(k, s))
+    win = decompress_to_windows(data_list, key_id)
     W = sum(len(w) for w in win)
-    L = int(2 ** np.ceil(np.log2(max(W / seg_target, 1.0))))
-    L = int(np.clip(L, min_seg_len, max_seg_len))
-    L = -(-L // RESCALE_EVERY) * RESCALE_EVERY
-    segs = []
-    seg_ids = []
-    for w in win:
-        ids = []
-        for off in range(0, len(w), L):
-            ids.append(len(segs))
-            segs.append(w[off : off + L])
-        seg_ids.append(ids)
+    L = window_segment_length(W, seg_target, min_seg_len, max_seg_len)
+    segs, seg_ids = cut_segments(win, L)
     S = len(segs)
     keys = np.full((S, L), pad_key, dtype=np.int32)
     valid = np.zeros((S, L), dtype=bool)

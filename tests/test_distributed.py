@@ -84,10 +84,13 @@ def test_two_process_window_estep(tmp_path):
 def test_two_process_estimate_cli(tmp_path):
     """Multi-host `estimate` straight from the CLI (VERDICT r2 item 3):
     two OS processes, each with 2 forced-host devices, join via
-    --coordinator/--num-processes/--process-id and run the identical
-    replicated driver over a 4-device global mesh.  Both processes must
-    produce the same fit, and it must agree with a single-process run to
-    sharded-reduction noise."""
+    --coordinator/--num-processes/--process-id and run over a 4-device
+    global mesh.  Both processes must produce the same fit, and it must
+    agree with a single-process run to sharded-reduction noise.
+
+    With ONE input file and host-local ingestion (the multi-process
+    default since round 4), process 1's shard is EMPTY — this also
+    pins the zero-contig edge of the host-local path."""
     from smcpp_tpu.data.vcf import SampleList, vcf2smc
 
     smc = str(tmp_path / "ex.smc.gz")
@@ -104,7 +107,7 @@ def test_two_process_estimate_cli(tmp_path):
         PYTHONPATH=os.path.dirname(HERE),
     )
     cli = [sys.executable, "-m", "smcpp_tpu.commands.main", "estimate",
-           "--em-iterations", "1", "--knots", "4", "--seed", "0",
+           "--em-iterations", "1", "--knots", "6", "--seed", "0",
            "1.25e-8", smc]
     procs = [
         subprocess.Popen(
@@ -146,6 +149,90 @@ def test_two_process_estimate_cli(tmp_path):
     assert p.returncode == 0, p.stdout.decode(errors="replace")[-4000:]
     ys = np.asarray(
         json.load(open(tmp_path / "out_single" / "model.final.json"))
+        ["model"]["y"], float,
+    )
+    np.testing.assert_allclose(y0, ys, rtol=1e-4, atol=1e-6)
+
+
+def test_two_process_hostlocal_estimate_cli(tmp_path):
+    """Host-local ingestion e2e (VERDICT r3 item 1): two input files, two
+    CLI processes — each process must load and filter ONLY its own file
+    (asserted from the ingestion log line), place only its own window
+    segments (jax.make_array_from_process_local_data), and both must
+    produce the same fit as (a) each other and (b) a single-process run
+    over the full dataset.  The reference is single-node by construction
+    (/root/reference/src/inference_manager.cpp:89-106)."""
+    from smcpp_tpu.data.vcf import SampleList, vcf2smc
+
+    smc0 = str(tmp_path / "a.smc.gz")
+    smc1 = str(tmp_path / "b.smc.gz")
+    vcf2smc(
+        "/root/reference/example/example.vcf.gz", smc0, "1",
+        SampleList("pop1", ["msp_0", "msp_1", "msp_2", "msp_3", "msp_4"]),
+    )
+    # second contig: same conversion with a different distinguished pair
+    # (the first sample) so the two shards carry genuinely different
+    # observation streams
+    vcf2smc(
+        "/root/reference/example/example.vcf.gz", smc1, "1",
+        SampleList("pop1", ["msp_3", "msp_0", "msp_1", "msp_2", "msp_4"]),
+    )
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=os.path.dirname(HERE),
+    )
+    cli = [sys.executable, "-m", "smcpp_tpu.commands.main", "estimate",
+           "--em-iterations", "1", "--knots", "6", "--seed", "0",
+           "1.25e-8", smc0, smc1]
+    procs = [
+        subprocess.Popen(
+            cli + ["-o", str(tmp_path / f"hl{i}"),
+                   "--coordinator", f"127.0.0.1:{port}",
+                   "--num-processes", "2", "--process-id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    # host-locality: each process ingested exactly its 1-file shard
+    for i, log in enumerate(logs):
+        assert f"host-local ingestion: process {i}/2 loads 1 of 2 files" \
+            in log, log[-4000:]
+        assert "host-local window packing" in log, log[-4000:]
+
+    import json
+
+    fits = [
+        json.load(open(tmp_path / f"hl{i}" / "model.final.json"))
+        for i in range(2)
+    ]
+    y0 = np.asarray(fits[0]["model"]["y"], float)
+    y1 = np.asarray(fits[1]["model"]["y"], float)
+    np.testing.assert_array_equal(y0, y1)  # same global stats everywhere
+
+    # single-process oracle over the full dataset on a 4-device mesh
+    p = subprocess.run(
+        cli + ["-o", str(tmp_path / "hl_single")],
+        env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=420,
+    )
+    assert p.returncode == 0, p.stdout.decode(errors="replace")[-4000:]
+    ys = np.asarray(
+        json.load(open(tmp_path / "hl_single" / "model.final.json"))
         ["model"]["y"], float,
     )
     np.testing.assert_allclose(y0, ys, rtol=1e-4, atol=1e-6)
