@@ -381,11 +381,26 @@ class _EagerQOps:
     # bf16 alpha carry even after precision escalation made it f32, and the
     # Viterbi reused the gamma decode's 6 B although its stream is 1 B).
 
-    @staticmethod
-    def _hbm_budget():
+    def _hbm_budget(self):
+        """Per-device byte budget for window-state streams.
+
+        Derived from the actual device's memory (37.5% of bytes_limit —
+        the stream shares HBM with the packed windows, operator
+        staging, and XLA transients; 37.5% reproduces the measured-safe
+        6 GB envelope on a 16 GB v5e and scales to 32 GB v4 parts).
+        SMCPP_TPU_ESTREAM_BYTES overrides; devices without memory_stats
+        (CPU backend, some simulators) fall back to the 6 GB default."""
         import os
 
-        return float(os.environ.get("SMCPP_TPU_ESTREAM_BYTES", 6e9))
+        v = os.environ.get("SMCPP_TPU_ESTREAM_BYTES")
+        if v is not None:
+            return float(v)
+        dev = getattr(self, "_device", None) or jax.devices()[0]
+        try:
+            limit = (dev.memory_stats() or {}).get("bytes_limit")
+        except Exception:
+            limit = None
+        return 0.375 * float(limit) if limit else 6e9
 
     def _window_stream_bytes(self, bytes_per_state):
         "Per-device bytes of a (windows x M) stream at bytes_per_state/elem."
@@ -420,7 +435,8 @@ class _EagerQOps:
         p = self.precision
         return p if p == "highest" else "tensorfloat32"
 
-    def _window_decode(self, pi_d, T_d, E_d):
+    def _ensure_window_decode(self):
+        "Build (once) the jitted window-decode program + row-id staging."
         from ..ops import window_kernel as wk
 
         if getattr(self, "_wdecode_fn", None) is None:
@@ -460,6 +476,10 @@ class _EagerQOps:
                     ),
                     device=self._device,
                 )
+
+    def _window_decode(self, pi_d, T_d, E_d):
+        "Row-resolution gammas via the (mesh-)sharded window decode kernel."
+        self._ensure_window_decode()
         _, g = self._wdecode_fn(
             pi_d, T_d, E_d, self._wkeys, self._wvalid, self._wrow_ids
         )
@@ -470,11 +490,15 @@ class _EagerQOps:
             off += len(spans)
         return out
 
-    def _window_map_paths(self, pi, T, E):
-        "MAP paths through the window max-plus kernel (see viterbi_windows)."
+    def _window_map_paths(self, pi, T, E, block=None):
+        """MAP paths through the window max-plus kernel (viterbi_windows).
+        ``block`` streams the phase-C backpointers per block (set when the
+        full (L, M, S) int8 stream is over the HBM budget)."""
         from ..ops import window_kernel as wk
 
-        if getattr(self, "_wvit_fn", None) is None:
+        if (getattr(self, "_wvit_fn", None) is None
+                or getattr(self, "_wvit_block", None) != block):
+            self._wvit_block = block
             ends = wk.pack_window_row_ends(
                 self._wrow_spans, self._wkeys.shape[1], self._soc
             )
@@ -483,14 +507,14 @@ class _EagerQOps:
 
                 self._wvit_ends = jax.device_put(ends)
                 self._wvit_fn = mesh_mod.make_sharded_window_viterbi(
-                    self._mesh, self._soc
+                    self._mesh, self._soc, block=block
                 )
             else:
                 self._wvit_ends = jax.device_put(ends, self._device)
                 soc = self._soc
                 self._wvit_fn = jax.jit(
                     lambda pi, T, E, k, v, r: wk.viterbi_windows(
-                        pi, T, E, k, v, soc, r
+                        pi, T, E, k, v, soc, r, block=block
                     ),
                     device=self._device,
                 )
@@ -521,9 +545,29 @@ class _EagerQOps:
         decoder accumulates absolute scores ~ -1e5 in a scalar, past f32
         ranking resolution.  A split row reports the MAP state at the
         original row's END — the same convention as unsplit rows."""
+        if getattr(self, "_local_data", False):
+            raise NotImplementedError(
+                "MAP decode under host-local ingestion is not supported "
+                "yet — run decode workflows with --replicated-data"
+            )
         pi, T, E = self.tensors()
-        if self._use_windows and self._window_viterbi_fits():
-            return self._window_map_paths(pi, T, E)
+        if self._use_windows:
+            if self._window_viterbi_fits():
+                return self._window_map_paths(pi, T, E)
+            # over-budget: stream the backpointers per block ~ sqrt(L)
+            # (Viterbi remat) — one extra forward sweep, O(sqrt L) memory.
+            # Only an absurdly small budget can fail this gate too.
+            from ..ops import window_kernel as wk
+
+            L = self._wkeys.shape[1]
+            block = wk.remat_block_size(L)
+            eff = (block * 1.0 + 4.0 * (L // block)) / L  # int8 blk + f32 snaps
+            if self._window_stream_bytes(eff) <= self._hbm_budget():
+                logger.info(
+                    "window Viterbi backpointer stream over budget; "
+                    "streaming per block (%d)", block,
+                )
+                return self._window_map_paths(pi, T, E, block=block)
         if getattr(self, "_viterbi_fn", None) is None:
             # f64 only executes natively on CPU meshes; on accelerator
             # meshes the row-level decode stays one batched CPU program

@@ -673,7 +673,8 @@ def decode_gammas_windows(pi, T, E, keys, valid, seg_of_contig, row_ends,
     return ll, jnp.maximum(g, 0.0).astype(jnp.float32)
 
 
-def viterbi_windows(pi, T, E, keys, valid, seg_of_contig, row_ends):
+def viterbi_windows(pi, T, E, keys, valid, seg_of_contig, row_ends,
+                    block=None):
     """MAP (Viterbi) decode through the window kernel.
 
     Two-level max-plus analogue of the decode: (A) a lockstep sweep builds
@@ -696,7 +697,9 @@ def viterbi_windows(pi, T, E, keys, valid, seg_of_contig, row_ends):
     """
     Wops = viterbi_segment_ops(T, E, keys, valid)
     seg_entry, seg_exit = viterbi_boundary_states(pi, Wops, seg_of_contig)
-    path = viterbi_segment_paths(T, E, keys, valid, seg_entry, seg_exit)
+    path = viterbi_segment_paths(
+        T, E, keys, valid, seg_entry, seg_exit, block=block
+    )
     flat = path.T.reshape(-1)  # segment-major = genomic order
     return jnp.take(flat, row_ends).astype(jnp.int32)
 
@@ -789,11 +792,21 @@ def viterbi_boundary_states(pi, Wops, seg_of_contig):
     return seg_entry, seg_exit
 
 
-def viterbi_segment_paths(T, E, keys, valid, seg_entry, seg_exit):
+def viterbi_segment_paths(T, E, keys, valid, seg_entry, seg_exit,
+                          block=None):
     """Phase C: interior MAP paths per segment, given boundary states —
     a forward lockstep sweep storing (L, M, S) int8 backpointers, then a
     lockstep reverse backtrace.  Returns path (L, S) int32: the MAP state
-    after each window (padding windows repeat the adjacent state)."""
+    after each window (padding windows repeat the adjacent state).
+
+    With ``block`` set (a divisor of L), the backpointer stream is never
+    materialized whole: the forward sweep stores only (L/block, M, S) V
+    snapshots at block entries, and the backtrace recomputes each block's
+    (block, M, S) backpointers from its snapshot just before consuming
+    them — the Viterbi analogue of the E-step's alpha remat, O(sqrt L)
+    memory at block ~ sqrt(L) for one extra forward sweep of compute
+    (VERDICT r3 item 8: the over-budget MAP decode used to fall back to
+    the ~178 s row-level CPU path)."""
     S, L = keys.shape
     Mdim = T.shape[0]
     dt = E.dtype
@@ -814,21 +827,49 @@ def viterbi_segment_paths(T, E, keys, valid, seg_entry, seg_exit):
         bp = jnp.where(v[None, :], bp, ident)
         return V, bp
 
-    Vin = jnp.where(
-        jnp.arange(Mdim)[:, None] == seg_entry[None, :], 0.0, _mp_neg(dt)
-    ).astype(dt)
-    _, bp_all = jax.lax.scan(
-        step, Vin, (keys.T, valid.T), unroll=min(UNROLL, 4)
-    )  # (L, M, S) int8
-
     def back(state, bp):
         nxt = jnp.take_along_axis(
             bp, state[None, :].astype(jnp.int32), axis=0
         )[0].astype(jnp.int32)
         return nxt, state  # emit state AFTER this window
 
-    _, path = jax.lax.scan(back, seg_exit, bp_all, reverse=True)
-    return path
+    Vin = jnp.where(
+        jnp.arange(Mdim)[:, None] == seg_entry[None, :], 0.0, _mp_neg(dt)
+    ).astype(dt)
+
+    if block is None:
+        _, bp_all = jax.lax.scan(
+            step, Vin, (keys.T, valid.T), unroll=min(UNROLL, 4)
+        )  # (L, M, S) int8
+        _, path = jax.lax.scan(back, seg_exit, bp_all, reverse=True)
+        return path
+
+    assert L % block == 0, (L, block)
+    nb = L // block
+    keys_b = keys.T.reshape(nb, block, S)
+    valid_b = valid.T.reshape(nb, block, S)
+
+    def fwd_block(V, xs):
+        Vout, _ = jax.lax.scan(
+            lambda c, kv: (step(c, kv)[0], None), V, xs,
+            unroll=min(UNROLL, 4),
+        )
+        return Vout, V  # emit the V ENTERING this block
+
+    _, Vsnap = jax.lax.scan(fwd_block, Vin, (keys_b, valid_b))  # (nb, M, S)
+
+    def bwd_block(state, xs):
+        Vb, kb, vb = xs
+        _, bp_blk = jax.lax.scan(
+            step, Vb, (kb, vb), unroll=min(UNROLL, 4)
+        )  # (block, M, S) int8 — only ONE block live at a time
+        nxt, path_blk = jax.lax.scan(back, state, bp_blk, reverse=True)
+        return nxt, path_blk
+
+    _, path = jax.lax.scan(
+        bwd_block, seg_exit, (Vsnap, keys_b, valid_b), reverse=True
+    )  # (nb, block, S), stacked in original block order
+    return path.reshape(L, S)
 
 
 def pack_window_row_ids(spans_list, L, seg_of_contig):

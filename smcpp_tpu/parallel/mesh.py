@@ -302,12 +302,14 @@ def make_sharded_window_decode(mesh, seg_of_contig, n_rows, precision=None):
     )
 
 
-def make_sharded_window_viterbi(mesh, seg_of_contig):
+def make_sharded_window_viterbi(mesh, seg_of_contig, block=None):
     """Segment-sharded window-kernel MAP decode
     (ops/window_kernel.py:viterbi_windows): phase A (segment max-plus
     operators) and phase C (interior backpointers + backtrace) run
     shard_map'd over segments; the tiny per-contig boundary chains run
-    replicated.  f(pi, T, E, keys, valid, row_ends) -> (n_rows,) int32."""
+    replicated.  f(pi, T, E, keys, valid, row_ends) -> (n_rows,) int32.
+    ``block`` streams phase C's backpointers per block (the over-budget
+    mode; ops/window_kernel.py:viterbi_segment_paths)."""
     from ..ops import window_kernel as wk
 
     opsA = jax.shard_map(
@@ -320,7 +322,7 @@ def make_sharded_window_viterbi(mesh, seg_of_contig):
 
     def local_paths(T, E, keys, valid, seg_entry, seg_exit, row_ends):
         path = wk.viterbi_segment_paths(
-            T, E, keys, valid, seg_entry, seg_exit
+            T, E, keys, valid, seg_entry, seg_exit, block=block
         )
         S_local, L = keys.shape
         flat = path.T.reshape(-1)

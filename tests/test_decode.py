@@ -189,6 +189,128 @@ def test_manager_memory_gate_toggles_remat(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-6)
 
 
+def test_hbm_budget_sources(monkeypatch):
+    """The window-stream budget derives from the DEVICE's memory
+    (0.375 x bytes_limit — VERDICT r3 item 6: no hard-coded 6e9 on
+    hardware), with SMCPP_TPU_ESTREAM_BYTES overriding everything and a
+    6 GB fallback when the backend reports no limit (CPU)."""
+    from smcpp_tpu.inference.manager import OnePopInferenceManager
+
+    monkeypatch.delenv("SMCPP_TPU_ESTREAM_BYTES", raising=False)
+
+    class _Dev:
+        @staticmethod
+        def memory_stats():
+            return {"bytes_limit": 16e9}
+
+    class _IM:
+        _hbm_budget = OnePopInferenceManager._hbm_budget
+        _device = _Dev()
+
+    assert _IM()._hbm_budget() == 0.375 * 16e9
+    _IM._device = None  # falls through to jax.devices()[0]: forced-host CPU
+    assert _IM()._hbm_budget() == 6e9
+    monkeypatch.setenv("SMCPP_TPU_ESTREAM_BYTES", "123456.0")
+    _IM._device = _Dev()
+    assert _IM()._hbm_budget() == 123456.0
+
+
+def test_budget_gates_flip_at_boundary(monkeypatch):
+    """The decode/Viterbi fit gates must flip exactly at the configured
+    budget (two synthetic levels around the actual stream size)."""
+    rng = np.random.RandomState(11)
+    n_rows = 80
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(1, 20, n_rows)
+    data[:, 1] = rng.randint(0, 2, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows)
+    im = _make_im(data)
+    assert im._use_windows
+    need = im._window_stream_bytes(12)
+    assert need > 0
+    monkeypatch.setenv("SMCPP_TPU_ESTREAM_BYTES", str(need * 1.01))
+    assert im._window_decode_fits() and im._window_viterbi_fits()
+    monkeypatch.setenv("SMCPP_TPU_ESTREAM_BYTES", str(need * 0.99))
+    assert not im._window_decode_fits()
+    # the Viterbi stream is 6x smaller (2 B vs 12 B per window-state)
+    assert im._window_viterbi_fits()
+    monkeypatch.setenv(
+        "SMCPP_TPU_ESTREAM_BYTES", str(im._window_stream_bytes(2) * 0.99)
+    )
+    assert not im._window_viterbi_fits()
+
+
+def test_viterbi_blocked_matches_full():
+    """Streaming the phase-C backpointers per block (the over-budget MAP
+    mode) must reproduce the full-stream window Viterbi exactly — the
+    forward recompute from block-entry snapshots is bit-identical
+    arithmetic, only the storage schedule differs."""
+    from smcpp_tpu.ops import window_kernel as wk
+
+    rng = np.random.RandomState(5)
+    M, nK = 5, 7
+    pi = rng.dirichlet(np.ones(M))
+    T = rng.dirichlet(np.ones(M), size=M)
+    E = rng.uniform(0.01, 1.0, (nK, M))
+    S, L = 6, 64
+    keys = rng.randint(0, nK, (S, L)).astype(np.int32)
+    valid = np.ones((S, L), bool)
+    valid[2, -17:] = False  # ragged padding
+    valid[5, -3:] = False
+    soc = np.array([[0, 1, -1], [2, 3, 4], [5, -1, -1]])
+    spans = [np.ones(int(v.sum()), np.int64) for v in
+             (valid[:2].ravel(), valid[2:5].ravel(), valid[5:].ravel())]
+    ends = wk.pack_window_row_ends(spans, L, soc)
+    args = (jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+            jnp.asarray(keys), jnp.asarray(valid), soc, jnp.asarray(ends))
+    full = np.asarray(wk.viterbi_windows(*args))
+    for block in (8, 16, 64):
+        blk = np.asarray(wk.viterbi_windows(*args, block=block))
+        np.testing.assert_array_equal(full, blk)
+
+
+def test_manager_viterbi_budget_streams_blocks(monkeypatch, caplog):
+    """With the budget squeezed between the full int8 backpointer stream
+    and the blocked one, map_paths must stream per block — and produce
+    the same paths as the in-budget kernel (NOT fall back to the
+    row-level CPU decoder)."""
+    import logging
+
+    rng = np.random.RandomState(13)
+    n_rows = 150
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(1, 25, n_rows)
+    data[:, 1] = rng.randint(0, 3, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows)
+
+    im = _make_im(data)
+    assert im._use_windows
+    im.E_step()
+    full = im.map_paths()
+
+    L = im._wkeys.shape[1]
+    from smcpp_tpu.ops import window_kernel as wk
+
+    block = wk.remat_block_size(L)
+    eff = (block + 4.0 * (L // block)) / L
+    assert eff < 2.0  # the blocked stream must actually be smaller
+    lo = im._window_stream_bytes(eff)
+    hi = im._window_stream_bytes(2)
+    monkeypatch.setenv(
+        "SMCPP_TPU_ESTREAM_BYTES", str((lo + hi) / 2.0)
+    )
+    im2 = _make_im(data)
+    im2.E_step()
+    assert not im2._window_viterbi_fits()
+    with caplog.at_level(logging.INFO, logger="smcpp_tpu.inference.manager"):
+        blocked = im2.map_paths()
+    assert im2._wvit_block == block  # took the streamed window path
+    for a, b in zip(full, blocked):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_window_decode_matches_row_decode():
     """The window-kernel decode (per-window gammas + on-device segment
     sum) must agree with the row-level decode on the same manager."""
