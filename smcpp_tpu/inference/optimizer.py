@@ -108,6 +108,90 @@ class SMCPPOptimizer:
             k: (grids[k], vals[i * B:(i + 1) * B]) for i, k in enumerate(ks)
         }
 
+    def _fast_coordinate_pass(self, prefetch):
+        """One-dispatch M-step knot update (round-4 M-step tail cut).
+
+        When EVERY knot's prefetched coarse bracket has already converged
+        (interior argmax, zoom window within the confirm threshold — the
+        steady state after the first few EM iterations), the per-knot f64
+        confirm grids are ~9 sequential host dispatches doing nothing but
+        re-measuring a parabola vertex.  Instead: fit the parabola on each
+        knot's PREFETCHED coarse values directly, then make all accept
+        decisions with ONE batched f64 Q call (K candidate rows + the base
+        row), plus one final f64 evaluation of the combined move.
+
+        Decision values are always exact f64 — the f32 coarse values only
+        POSITION the candidates (their vertex noise is within the +-w
+        localization the coarse round provides anyway), so the fixed-point
+        guarantees match the sequential path: a move is only ever accepted
+        against a same-batch f64 baseline, and the combined move must beat
+        the best single move or we fall back to that single move.
+
+        Returns True when it handled the coordinate loop; False falls back
+        to the sequential per-knot searches (first iterations, edge
+        argmaxes, non-concave brackets, or SMCPP_TPU_FAST_COORD=0)."""
+        if os.environ.get("SMCPP_TPU_FAST_COORD") == "0":
+            return False
+        coords = self._coordinates()
+        if not (self._single and prefetch) or any(
+            c[0] not in prefetch for c in coords
+        ):
+            return False
+        a = self._analysis
+        y0 = a.model.y.copy()
+        cand = {}
+        for c in coords:
+            k = c[0]
+            xs0, v0 = prefetch[k]
+            v0 = np.where(np.isfinite(v0), v0, -np.inf)
+            j = int(np.argmax(v0))
+            if not (0 < j < len(xs0) - 1 and np.isfinite(v0[j])):
+                return False  # edge/non-finite argmax: stale-drift symptom
+            w = xs0[1] - xs0[0]
+            if 2.0 * w > 6.0 * self._xtol:
+                return False  # bracket not converged: genuine zoom needed
+            den = v0[j - 1] - 2.0 * v0[j] + v0[j + 1]
+            if den < 0:
+                xq = xs0[j] + 0.5 * w * (v0[j - 1] - v0[j + 1]) / den
+                xq = float(np.clip(xq, xs0[j] - w, xs0[j] + w))
+            else:
+                xq = float(xs0[j])  # flat/convex triple: best grid point
+            cand[k] = xq
+        ks = sorted(cand)
+        rows = np.tile(y0, (len(ks) + 1, 1))
+        for i, k in enumerate(ks):
+            rows[i, k] = cand[k]
+        vals = np.asarray(a.Q_batch(ys=rows, coarse=False), float)
+        vals = np.where(np.isfinite(vals), vals, -np.inf)
+        v_base = vals[-1]
+        acc = [i for i, k in enumerate(ks) if vals[i] > v_base]
+        if acc:
+            y_new = y0.copy()
+            for i in acc:
+                y_new[ks[i]] = cand[ks[i]]
+            if len(acc) > 1:
+                v_new = float(
+                    np.asarray(a.Q_batch(ys=y_new[None], coarse=False),
+                               float)[0]
+                )
+                if not (np.isfinite(v_new)
+                        and v_new >= max(vals[i] for i in acc)):
+                    # knot couplings hurt the combined move: take the best
+                    # single accepted move (guaranteed > base)
+                    i = max(acc, key=lambda i: vals[i])
+                    y_new = y0.copy()
+                    y_new[ks[i]] = cand[ks[i]]
+            a.model.y = y_new
+        for k in ks:
+            self._radius[k] = min(
+                3.0, max(4.0 * abs(cand[k] - y0[k]), 4.0 * self._xtol)
+            )
+        logger.debug(
+            "fast coordinate pass: %d/%d moves accepted in one f64 batch",
+            len(acc), len(ks),
+        )
+        return True
+
     def _minimize(self, x0, coords, coarse0=None):
         bounds = np.transpose(
             [
@@ -411,12 +495,13 @@ class SMCPPOptimizer:
                     self._optimize_param("rho", (th / 100, th * 100))
                 self._optimize_scale()
                 prefetch = self._prefetch_coarse()
-                for coords in self._coordinates():
-                    x0 = self._analysis.model.y[coords]
-                    res = self._minimize(
-                        x0, coords, coarse0=prefetch.get(coords[0])
-                    )
-                    self._analysis.model.y[coords] = res.x
+                if not self._fast_coordinate_pass(prefetch):
+                    for coords in self._coordinates():
+                        x0 = self._analysis.model.y[coords]
+                        res = self._minimize(
+                            x0, coords, coarse0=prefetch.get(coords[0])
+                        )
+                        self._analysis.model.y[coords] = res.x
                 if logger.isEnabledFor(logging.DEBUG):
                     logger.debug(
                         "size history after iteration %d:\n%s",

@@ -171,3 +171,100 @@ def test_prefetch_requires_fast_batch():
     o = make_opt(a)
     o._radius = {0: 1.0}
     assert o._prefetch_coarse() == {}
+
+
+# -- fast coordinate pass (round-4 M-step tail cut) -----------------------
+
+def _converged_radius(o):
+    """A trust radius small enough that every coarse bracket counts as
+    converged (2 * grid spacing <= 6 * xtol)."""
+    return 1.4 * o._xtol * (o._BATCH - 1) / 2.0
+
+
+def test_fast_pass_one_decision_batch():
+    """With every bracket converged, the whole knot loop collapses to ONE
+    f64 decision batch (K candidates + base) and moves every knot to its
+    parabola vertex."""
+    o = make_opt(FakeAnalysis(K=4))
+    a = o._analysis
+    r = _converged_radius(o)
+    a.model.y[:] = 1.5 - 0.4 * r  # optima 0.4 r away: interior argmax
+    o._radius = {k: r for k in range(4)}
+    prefetch = o._prefetch_coarse()
+    a.calls.clear()
+    assert o._fast_coordinate_pass(prefetch)
+    f64_calls = [ys for ys, coarse in a.calls if not coarse]
+    assert len(f64_calls) <= 2  # decision batch (+ combined-move check)
+    assert len(f64_calls[0]) == 4 + 1
+    np.testing.assert_allclose(a.model.y, 1.5, atol=2 * o._xtol)
+
+
+def test_fast_pass_falls_back_when_unconverged():
+    "A wide bracket (genuine zoom needed) must use the sequential path."
+    o = make_opt(FakeAnalysis(K=3))
+    o._analysis.model.y[:] = 1.0
+    o._radius = {k: 0.5 for k in range(3)}  # way over the confirm threshold
+    prefetch = o._prefetch_coarse()
+    assert not o._fast_coordinate_pass(prefetch)
+
+
+def test_fast_pass_falls_back_on_missing_bracket():
+    "First iterations (no radius yet on some knot) keep the full search."
+    o = make_opt(FakeAnalysis(K=3))
+    r = _converged_radius(o)
+    o._radius = {0: r, 1: r}  # knot 2 has no prefetched bracket
+    prefetch = o._prefetch_coarse()
+    assert not o._fast_coordinate_pass(prefetch)
+
+
+def test_fast_pass_rejects_nonimproving_candidates():
+    """Candidates whose exact f64 value does not beat the base stay put
+    (the f32 coarse parabola never decides an accept on its own)."""
+
+    o = make_opt(FakeAnalysis(K=2))
+    a = o._analysis
+    r = _converged_radius(o)
+    shift = 0.3 * r
+
+    orig = a.Q_batch
+
+    def q_batch(ys=None, rhos=None, coarse=False):
+        if coarse:  # stale coarse values: apparent optimum shifted
+            return orig(ys=np.asarray(ys, float) - shift, coarse=True)
+        return orig(ys=ys, rhos=rhos, coarse=coarse)
+
+    a.Q_batch = q_batch
+    a.model.y[:] = 1.5  # already AT the true optimum
+    o._radius = {k: r for k in range(2)}
+    prefetch = o._prefetch_coarse()
+    assert o._fast_coordinate_pass(prefetch)
+    # the shifted coarse parabola proposes 1.5 + shift; its exact f64
+    # value loses to the base row, so both moves are rejected
+    np.testing.assert_allclose(a.model.y, 1.5, atol=1e-12)
+
+
+def test_fast_pass_coupling_falls_back_to_best_single():
+    """When knot couplings make the COMBINED move worse than the best
+    single move, the pass takes the best single accepted move instead."""
+
+    class Coupled(FakeAnalysis):
+        # Q = -(y0 + y1 - 1)^2: per-coordinate concave, strongly coupled
+        def _q(self, ys):
+            ys = np.atleast_2d(np.asarray(ys, float))
+            return -((ys[:, 0] + ys[:, 1] - 1.0) ** 2)
+
+    o = make_opt(Coupled(K=2))
+    a = o._analysis
+    r = _converged_radius(o)
+    # sum is 1 + 0.9 r: each single move of -0.9 r fixes the sum exactly
+    # (interior argmax); BOTH moves overshoot to sum = 1 - 0.9 r
+    y0 = 0.5 + 0.45 * r
+    a.model.y[:] = [y0, y0]
+    o._radius = {k: r for k in range(2)}
+    q0 = float(a._q(a.model.y[None])[0])
+    prefetch = o._prefetch_coarse()
+    assert o._fast_coordinate_pass(prefetch)
+    q1 = float(a._q(a.model.y[None])[0])
+    assert q1 > q0  # never regress
+    # exactly one knot moved (the combined move was rejected)
+    assert (np.abs(a.model.y - y0) > 1e-9).sum() == 1
