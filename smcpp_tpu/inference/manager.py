@@ -417,6 +417,19 @@ class _EagerQOps:
             wk._carry_dtype(p, jnp.dtype(self._estep_dtype))
         ).itemsize
 
+    # Cold-start lever: the tuned UNROLL=8 inflates the window-kernel HLO
+    # ~8x, and XLA compile time scales with it — the dominant term of a
+    # tiny `estimate`'s wall through this machine's remote-compile tunnel.
+    # Unrolling only pays when per-step scan overhead is a real fraction
+    # of step time, i.e. at large S x L; below this window count the
+    # kernel is dispatch-bound and unroll=1 measures the same.
+    UNROLL_MIN_WINDOWS = 1 << 22  # ~4M windows (~0.4 Gbp at w=100)
+
+    def _kernel_unroll(self):
+        "None = module default (tuned unroll); 1 for small problems."
+        S, L = self._wkeys.shape
+        return 1 if S * L < self.UNROLL_MIN_WINDOWS else None
+
     def _window_decode_fits(self):
         """Gamma decode streams within budget: the decode runs at the tf32
         rung (f32 carries), so alpha (4 B) + gamma (4 B) + the transient
@@ -463,6 +476,7 @@ class _EagerQOps:
                 self._wdecode_fn = mesh_mod.make_sharded_window_decode(
                     self._mesh, self._soc, n_rows,
                     precision=self._decode_precision(),
+                    unroll=self._kernel_unroll(),
                 )
             else:
                 ends = wk.pack_window_row_ends(
@@ -470,9 +484,10 @@ class _EagerQOps:
                 )
                 self._wrow_ids = jax.device_put(ends, self._device)
                 soc, p = self._soc, self._decode_precision()
+                u = self._kernel_unroll()
                 self._wdecode_fn = jax.jit(
                     lambda pi, T, E, k, v, r: wk.decode_gammas_windows(
-                        pi, T, E, k, v, soc, r, p
+                        pi, T, E, k, v, soc, r, p, unroll=u
                     ),
                     device=self._device,
                 )
@@ -784,11 +799,12 @@ class OnePopInferenceManager(_EagerQOps):
             if self._use_windows:
                 if use_ad:
                     return mesh_mod.make_sharded_window_estep(
-                        self._mesh, self._soc, precision=p
+                        self._mesh, self._soc, precision=p,
+                        unroll=self._kernel_unroll(),
                     )
                 return mesh_mod.make_sharded_direct_estep(
                     self._mesh, self._soc, precision=p, e_stream=e_stream,
-                    alpha_remat=alpha_remat,
+                    alpha_remat=alpha_remat, unroll=self._kernel_unroll(),
                 )
             return mesh_mod.make_sharded_estep(
                 self._mesh, nbits=self._nbits, chunk=self._chunk, precision=p
@@ -798,12 +814,14 @@ class OnePopInferenceManager(_EagerQOps):
 
             if use_ad:
                 fn = partial(
-                    wk.estep_windows, seg_of_contig=self._soc, precision=p
+                    wk.estep_windows, seg_of_contig=self._soc, precision=p,
+                    unroll=self._kernel_unroll(),
                 )
             else:
                 fn = partial(
                     wk.estep_direct, seg_of_contig=self._soc, precision=p,
                     e_stream=e_stream, alpha_remat=alpha_remat,
+                    unroll=self._kernel_unroll(),
                 )
             return jax.jit(fn, device=self._device)
         fn = partial(hmm_mod.estep, nbits=self._nbits, chunk=self._chunk)

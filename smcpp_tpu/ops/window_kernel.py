@@ -92,6 +92,16 @@ def _env_unroll(name, default):
 UNROLL = _env_unroll("SMCPP_TPU_UNROLL", "8")
 UNROLL_OUTER = _env_unroll("SMCPP_TPU_UNROLL_OUTER", "1")
 
+# Compile-time/run-time tradeoff: unrolling inflates the HLO ~UNROLL-fold,
+# and on small inputs (where per-step overhead is NOT the bottleneck) the
+# only effect is a several-fold longer XLA compile — the dominant term of
+# a tiny `estimate`'s cold start through the remote-compile tunnel.  The
+# kernels below accept ``unroll=None`` (use the tuned module default) or an
+# explicit caller override; the manager passes 1 for small problems
+# (manager._kernel_unroll).
+def _eff_unroll(unroll):
+    return UNROLL if unroll is None else max(1, int(unroll))
+
 
 def _carry_dtype(precision, base_dtype):
     if base_dtype != jnp.float32:
@@ -105,7 +115,7 @@ ONEHOT_MAX_KEYS = 384
 
 
 def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision,
-                 emit_e=False):
+                 emit_e=False, unroll=None):
     """Advance ``X`` (M, S, M) through a block of window steps.
 
     keys_blk, valid_blk: (B, S).  Numerical control in two layers (together
@@ -160,14 +170,15 @@ def _steps_block(Tt, E, X, logs, keys_blk, valid_blk, precision,
 
     (X, logs), e_blk = jax.lax.scan(
         step, (X, logs), (keys_blk, valid_blk),
-        unroll=min(UNROLL, RESCALE_EVERY),
+        unroll=min(_eff_unroll(unroll), RESCALE_EVERY),
     )
     Xf = X.astype(E.dtype)
     m = jnp.maximum(jnp.max(jnp.abs(Xf), axis=(0, 2)), tiny)  # (S,)
     return (Xf / m[None, :, None]).astype(cdt), logs + jnp.log(m), e_blk
 
 
-def segment_operators(T, E, keys, valid, precision=None, emit_e=False):
+def segment_operators(T, E, keys, valid, precision=None, emit_e=False,
+                      unroll=None):
     """Transfer operators for S segments of L windows each.
 
     keys, valid: (S, L) with L a multiple of RESCALE_EVERY.
@@ -195,7 +206,7 @@ def segment_operators(T, E, keys, valid, precision=None, emit_e=False):
 
     block = jax.checkpoint(
         lambda X, logs, kb, vb: _steps_block(
-            Tt, E, X, logs, kb, vb, precision, emit_e
+            Tt, E, X, logs, kb, vb, precision, emit_e, unroll
         ),
         prevent_cse=False,
     )
@@ -259,21 +270,24 @@ def contig_scan(pi, ops, logs, seg_of_contig, seg_has):
     return jnp.sum(ll)
 
 
-def loglik_windows(pi, T, E, keys, valid, seg_of_contig, precision=None):
+def loglik_windows(pi, T, E, keys, valid, seg_of_contig, precision=None,
+                   unroll=None):
     """Log-likelihood over contigs from window-level segments.
 
     keys/valid: (S, L).  seg_of_contig: static (C, max_nseg) int array of
     segment ids in genomic order per contig, padded with -1.
     """
-    ops, logs = segment_operators(T, E, keys, valid, precision)
+    ops, logs = segment_operators(T, E, keys, valid, precision, unroll=unroll)
     return contig_scan(pi, ops, logs, seg_of_contig, jnp.any(valid, axis=1))
 
 
-def estep_windows(pi, T, E, keys, valid, seg_of_contig, precision=None):
+def estep_windows(pi, T, E, keys, valid, seg_of_contig, precision=None,
+                  unroll=None):
     "E-step statistics via the gradient identities (see ops/hmm.py)."
 
     def total_ll(pi, T, E):
-        return loglik_windows(pi, T, E, keys, valid, seg_of_contig, precision)
+        return loglik_windows(pi, T, E, keys, valid, seg_of_contig, precision,
+                              unroll=unroll)
 
     ll, grads = jax.value_and_grad(total_ll, argnums=(0, 1, 2))(pi, T, E)
     return ll, pi * grads[0], T * grads[1], E * grads[2]
@@ -366,7 +380,8 @@ def contig_boundaries(pi, ops, logs, seg_of_contig, seg_has):
 
 
 def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
-               axis_name=None, alpha_remat=None, emit_gamma=False):
+               axis_name=None, alpha_remat=None, emit_gamma=False,
+               unroll=None):
     """Lockstep alpha/beta sweeps accumulating within-segment statistics.
 
     All per-window state lives in the transposed (M, S) layout so the big
@@ -408,6 +423,7 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
         [validT[1:], jnp.zeros((1, S), bool)], axis=0
     )
     cdt = _carry_dtype(precision, jnp.dtype(dt))
+    u = _eff_unroll(unroll)
 
     def emisT(k):
         "(M, S) emission columns for one window row of keys."
@@ -480,17 +496,17 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
 
     if alpha_remat is None:
         alpha_end_T, alphas = jax.lax.scan(
-            asc, A_in.T.astype(dt), (ekT, validT), unroll=UNROLL,
+            asc, A_in.T.astype(dt), (ekT, validT), unroll=u,
         )
         if e_all is None:
             (_, u_start_T, xo, gsum), gam = jax.lax.scan(
                 dsc_noe, init, (alphas, keysT, validT, vnextT),
-                reverse=True, unroll=UNROLL,
+                reverse=True, unroll=u,
             )
         else:
             (_, u_start_T, xo, gsum), gam = jax.lax.scan(
                 dsc, init, (alphas, e_all, keysT, validT, vnextT),
-                reverse=True, unroll=UNROLL,
+                reverse=True, unroll=u,
             )
     else:
         assert not emit_gamma, "emit_gamma requires alpha_remat=None"
@@ -503,7 +519,7 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
         vnext_b = vnextT.reshape(nblk, B, S)
 
         def asc_block(aT, xs_blk):
-            aT2, _ = jax.lax.scan(asc_nosave, aT, xs_blk, unroll=UNROLL)
+            aT2, _ = jax.lax.scan(asc_nosave, aT, xs_blk, unroll=u)
             return aT2, aT.astype(cdt)  # emit the alpha BEFORE this block
 
         alpha_end_T, snaps = jax.lax.scan(
@@ -519,12 +535,12 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
             if e_all is None:
                 carry, _ = jax.lax.scan(
                     dsc_noe, carry, (alphas_blk, kb, vb, vnb),
-                    reverse=True, unroll=UNROLL,
+                    reverse=True, unroll=u,
                 )
             else:
                 carry, _ = jax.lax.scan(
                     dsc, carry, (alphas_blk, ekb, kb, vb, vnb),
-                    reverse=True, unroll=UNROLL,
+                    reverse=True, unroll=u,
                 )
             return carry, None
 
@@ -570,7 +586,7 @@ def boundary_stats(pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid):
 
 
 def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
-                 e_stream=None, alpha_remat=None):
+                 e_stream=None, alpha_remat=None, unroll=None):
     """Direct Baum-Welch E-step: same contract as ``estep_windows``
     (ll, pi-stat, xisum, gamma_sums), computed without autodiff.
 
@@ -592,10 +608,12 @@ def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
         e_stream = E.shape[0] > ONEHOT_MAX_KEYS
     if e_stream:
         ops, logs, e_all = segment_operators(
-            T, E, keys, valid, precision, emit_e=True
+            T, E, keys, valid, precision, emit_e=True, unroll=unroll
         )
     else:
-        ops, logs = segment_operators(T, E, keys, valid, precision)
+        ops, logs = segment_operators(
+            T, E, keys, valid, precision, unroll=unroll
+        )
         e_all = None
     seg_has = jnp.any(valid, axis=1)
     ll, A_in, Q_end, cvalid = contig_boundaries(
@@ -603,7 +621,7 @@ def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
     )
     alpha_end, u_start, xo, gsum = stats_pass(
         T, E, keys, valid, A_in, Q_end, e_all, precision,
-        alpha_remat=alpha_remat,
+        alpha_remat=alpha_remat, unroll=unroll,
     )
     xo, pi_stat = boundary_stats(
         pi, T, alpha_end, u_start, xo, seg_of_contig, cvalid
@@ -612,7 +630,7 @@ def estep_direct(pi, T, E, keys, valid, seg_of_contig, precision=None,
 
 
 def decode_gammas_windows(pi, T, E, keys, valid, seg_of_contig, row_ends,
-                          precision=None):
+                          precision=None, unroll=None):
     """Row-resolution posterior masses THROUGH the window kernel.
 
     The backward statistic sweep already computes each window's normalized
@@ -645,13 +663,15 @@ def decode_gammas_windows(pi, T, E, keys, valid, seg_of_contig, row_ends,
     """
     if precision is None:
         precision = "tensorfloat32"
-    ops, logs = segment_operators(T, E, keys, valid, precision)
+    ops, logs = segment_operators(T, E, keys, valid, precision,
+                                  unroll=unroll)
     seg_has = jnp.any(valid, axis=1)
     ll, A_in, Q_end, cvalid = contig_boundaries(
         pi, ops, logs, seg_of_contig, seg_has
     )
     _, _, _, _, gam = stats_pass(
-        T, E, keys, valid, A_in, Q_end, None, precision, emit_gamma=True
+        T, E, keys, valid, A_in, Q_end, None, precision, emit_gamma=True,
+        unroll=unroll,
     )  # (L, M, S)
     Mdim = T.shape[0]
     flat = jnp.transpose(gam, (2, 0, 1)).reshape(-1, Mdim)

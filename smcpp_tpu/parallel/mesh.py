@@ -172,7 +172,7 @@ def pad_segments(keys, valid, n_devices):
 
 
 def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
-                              e_stream=True, alpha_remat=None):
+                              e_stream=True, alpha_remat=None, unroll=None):
     """Segment-sharded direct (AD-free) window E-step.
 
     Same contract as ``make_sharded_window_estep`` but built from the
@@ -190,7 +190,7 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
         op_out = op_out + (P(None, None, "data"),)
     op_local = jax.shard_map(
         partial(wk.segment_operators, precision=precision,
-                emit_e=e_stream),
+                emit_e=e_stream, unroll=unroll),
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None)),
         out_specs=op_out,
@@ -202,7 +202,7 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
         stats_in = stats_in + (P(None, None, "data"),)
     stats_local = jax.shard_map(
         partial(wk.stats_pass, precision=precision, axis_name="data",
-                alpha_remat=alpha_remat),
+                alpha_remat=alpha_remat, unroll=unroll),
         mesh=mesh,
         in_specs=stats_in,
         out_specs=(P("data", None), P("data", None), P(), P()),
@@ -236,7 +236,8 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
     )
 
 
-def make_sharded_window_decode(mesh, seg_of_contig, n_rows, precision=None):
+def make_sharded_window_decode(mesh, seg_of_contig, n_rows, precision=None,
+                               unroll=None):
     """Segment-sharded window-kernel posterior decode
     (ops/window_kernel.py:decode_gammas_windows): each shard sweeps its
     segments, emits its per-window gamma stream locally, aggregates it to
@@ -251,7 +252,7 @@ def make_sharded_window_decode(mesh, seg_of_contig, n_rows, precision=None):
         precision = "tensorfloat32"
 
     op_local = jax.shard_map(
-        partial(wk.segment_operators, precision=precision),
+        partial(wk.segment_operators, precision=precision, unroll=unroll),
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None)),
         out_specs=(P("data", None, None), P("data")),
@@ -261,7 +262,7 @@ def make_sharded_window_decode(mesh, seg_of_contig, n_rows, precision=None):
     def stats_gamma_local(T, E, keys, valid, A_in, Q_end, row_ids):
         _, _, _, _, gam = wk.stats_pass(
             T, E, keys, valid, A_in, Q_end, None, precision,
-            emit_gamma=True,
+            emit_gamma=True, unroll=unroll,
         )
         Mdim = T.shape[0]
         # segment-major flattening: locally sorted row ids (see
@@ -359,7 +360,8 @@ def make_sharded_window_viterbi(mesh, seg_of_contig, block=None):
     )
 
 
-def make_sharded_window_estep(mesh, seg_of_contig, precision=None):
+def make_sharded_window_estep(mesh, seg_of_contig, precision=None,
+                              unroll=None):
     """Segment-sharded window-kernel E-step.
 
     f(pi, T, E, keys, valid) -> (ll, gamma0, xisum, gamma_sums) with
@@ -370,7 +372,7 @@ def make_sharded_window_estep(mesh, seg_of_contig, precision=None):
     from ..ops import window_kernel as wk
 
     op_local = jax.shard_map(
-        partial(wk.segment_operators, precision=precision),
+        partial(wk.segment_operators, precision=precision, unroll=unroll),
         mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None)),
         out_specs=(P("data", None, None), P("data")),
