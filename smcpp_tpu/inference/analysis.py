@@ -176,7 +176,7 @@ class BaseAnalysis:
     def _reg_batch(self, ys):
         import jax
 
-        from .manager import _cpu_device
+        from .manager import OnePopInferenceManager, _cpu_device
 
         key = id(self._model)
         if getattr(self, "_reg_batch_key", None) != key:
@@ -186,7 +186,14 @@ class BaseAnalysis:
                 jax.vmap(self._model.regularizer_fn), device=_cpu_device()
             )
             self._reg_batch_key = key
-        return np.asarray(self._reg_batch_fn(ys))
+        # same canonical width buckets as manager.Q_batch: every distinct
+        # width is a fresh trace+compile of the vmapped regularizer
+        ys = np.asarray(ys)
+        B = len(ys)
+        W = OnePopInferenceManager._bucket_width(B)
+        if W != B:
+            ys = np.concatenate([ys, np.tile(ys[:1], (W - B, 1))])
+        return np.asarray(self._reg_batch_fn(ys))[:B]
 
     def Q_and_grad(self, y=None):
         import jax

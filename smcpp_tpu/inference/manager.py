@@ -1219,6 +1219,23 @@ class OnePopInferenceManager(_EagerQOps):
         "Fast vectorized Q is available (jitted setup path, not eager/joint)."
         return not getattr(self, "_joint", False)
 
+    # Canonical vmapped-Q batch widths.  Every distinct width is a fresh
+    # jit trace of the whole Q tensor pipeline (~0.7 s of host tracing
+    # each, plus a compile); the searches emit widths 24/13/3/1 plus
+    # K-dependent ones (coarse prefetch K*24, fast pass K+1), so without
+    # bucketing a cold start retraces the same graph ~7x.  Buckets hit
+    # the optimizer's own constants exactly; padded rows replicate row 0
+    # (cost is linear on the CPU path but a few extra ms per dispatch —
+    # far below the per-width tracing it saves).
+    _WIDTHS = (1, 3, 13, 24, 48, 96, 192, 384, 768)
+
+    @classmethod
+    def _bucket_width(cls, B):
+        for w in cls._WIDTHS:
+            if B <= w:
+                return w
+        return -(-B // cls._WIDTHS[-1]) * cls._WIDTHS[-1]
+
     def Q_batch(self, ys=None, rhos=None, theta=None, alpha=None,
                 fast_ok=False):
         """Q at a batch of candidate parameters in ONE vmapped evaluation.
@@ -1239,20 +1256,16 @@ class OnePopInferenceManager(_EagerQOps):
         y0, th, rho0, al, g0, xs, gs = self._q_args(
             None, theta, None, alpha, accel=fast
         )
-        # Fast path: pad every call to one static batch width so the TPU
-        # program compiles once (the searches use widths 24/12/1; a padded
-        # batch costs nothing on the accelerator, unlike the CPU path
-        # whose cost is linear in width).
-        PAD = 24
+        # Accelerator path: one static width (a padded batch costs nothing
+        # there); host path: canonical width buckets (_WIDTHS).
         if ys is None:
             # rho-only sweep: shared setup + vmapped transition
             qrb = self._setup_fast()[1] if fast else self._setup()[4]
             rhob = np.asarray(rhos, np.float64)
             B = len(rhob)
-            if fast and B % PAD:
-                rhob = np.concatenate(
-                    [rhob, np.full((-B) % PAD, rhob[0])]
-                )
+            W = -(-B // 24) * 24 if fast else self._bucket_width(B)
+            if B != W:
+                rhob = np.concatenate([rhob, np.full(W - B, rhob[0])])
             return np.asarray(qrb(y0, th, rhob, al, g0, xs, gs))[:B]
         qb = self._setup_fast()[0] if fast else self._setup()[3]
         B = len(ys)
@@ -1261,8 +1274,9 @@ class OnePopInferenceManager(_EagerQOps):
             rhob = np.full((B,), rho0, np.float64)
         else:
             rhob = np.asarray(rhos, np.float64)
-        if fast and B % PAD:
-            pad = (-B) % PAD
+        W = -(-B // 24) * 24 if fast else self._bucket_width(B)
+        if B != W:
+            pad = W - B
             ysb = np.concatenate([ysb, np.tile(ysb[:1], (pad, 1))])
             rhob = np.concatenate([rhob, np.full(pad, rhob[0])])
         return np.asarray(qb(ysb, th, rhob, al, g0, xs, gs))[:B]
@@ -1345,6 +1359,7 @@ class TwoPopInferenceManager(_EagerQOps):
         estep_dtype=jnp.float32,
         devices=None,
         precision=None,
+        local_data=False,
     ):
         assert a1 + a2 == 2 and a1 in (1, 2)
         self._precision = precision
@@ -1367,9 +1382,22 @@ class TwoPopInferenceManager(_EagerQOps):
 
             self._mesh = mesh_mod.make_mesh(self._devices)
 
-        all_keys = np.unique(
-            np.concatenate([d[:, 1:] for d in data_list], axis=0), axis=0
-        )
+        # host-local ingestion (parallel/hostlocal.py): ``data_list`` is
+        # this process's shard; aggregate as in OnePopInferenceManager
+        self._local_data = bool(local_data) and jax.process_count() > 1
+        if self._local_data:
+            from ..parallel import hostlocal
+
+            lk = (
+                np.concatenate([d[:, 1:] for d in data_list], axis=0)
+                if data_list
+                else np.zeros((0, 6), np.int32)
+            )
+            all_keys = hostlocal.global_unique_rows(lk, ncols=6)
+        else:
+            all_keys = np.unique(
+                np.concatenate([d[:, 1:] for d in data_list], axis=0), axis=0
+            )
         self.em_idx = em_mod.build_emission_index_2pop(
             all_keys, (self.n1, self.n2), (self.a1, self.a2),
             polarization_error,
@@ -1377,7 +1405,7 @@ class TwoPopInferenceManager(_EagerQOps):
         spans, keys, self._row_reps = pack_observations(
             data_list, self.em_idx.key_id(), chunk
         )
-        self._nbits = max(1, int(spans.max()).bit_length())
+        max_span = int(spans.max(initial=0))
         if self._mesh is None:
             self._spans = jax.device_put(spans, self._device)
             self._keys = jax.device_put(keys, self._device)
@@ -1396,6 +1424,18 @@ class TwoPopInferenceManager(_EagerQOps):
             # dtype to the allreduce as every other process
         ).astype(np.float64)
         self._n_contigs = spans.shape[0]
+        if self._local_data:
+            max_span = int(hostlocal.allreduce_max(np.int64(max_span)))
+            self._total_bases = float(
+                hostlocal.allreduce_sum(np.float64(self._total_bases))
+            )
+            self._key_counts = np.asarray(
+                hostlocal.allreduce_sum(self._key_counts), np.float64
+            )
+            self._n_contigs = int(
+                hostlocal.allreduce_sum(np.int64(self._n_contigs))
+            )
+        self._nbits = max(1, max_span.bit_length())
 
         # same kernel cost model + mesh staging as the one-pop manager
         # (VERDICT r2 item 2: the two-pop E-step/posterior must run the
@@ -1416,7 +1456,14 @@ class TwoPopInferenceManager(_EagerQOps):
         self._stats = None
         self._ll = None
         self.gammas = None
-        if self._mesh is not None and not self._use_windows:
+        if (
+            self._mesh is not None
+            and not self._use_windows
+            and not self._local_data
+        ):
+            # same guard as the one-pop manager: span-kernel staging
+            # replicates host arrays across processes; host-local shards
+            # only run the window kernel (M > 1) or the closed form (M=1)
             from ..parallel import mesh as mesh_mod
 
             self._spans_sh, self._keys_sh = mesh_mod.shard_batch(
