@@ -21,11 +21,21 @@ logger = logging.getLogger(__name__)
 
 
 class SplitAnalysis(BaseAnalysis):
+    # host-local ingestion works here too: the split search runs on
+    # trivial hidden states (M = 1), whose closed-form E-step consumes
+    # only the globally all-reduced key counts — every process computes
+    # the identical split objective from its own contig shard
+    supports_hostlocal = True
+
     def __init__(self, files, args):
         super().__init__(files, args)
         assert self.npop == 2, "split requires two-population data"
         self._init_model(args.pop1, args.pop2)
-        if not any(c.npop == 2 for c in self.contigs):
+        if self._headers is not None:
+            has_joint = any(len(pid) == 2 for pid, _n, _a in self._headers)
+        else:
+            has_joint = any(c.npop == 2 for c in self.contigs)
+        if not has_joint:
             raise RuntimeError(
                 "Data contains no joint frequency spectrum information."
             )
@@ -60,6 +70,16 @@ class SplitAnalysis(BaseAnalysis):
         d = {}
         max_n = {}
         a_by_pid = {}
+        if self._headers is not None:
+            # global pid universe / sample maxima / distinguished layout
+            # from the one-line headers: every process must construct the
+            # same managers in the same (global file) order even when its
+            # local shard misses a pid entirely (parallel/hostlocal.py)
+            for pid, n, a in self._headers:
+                d.setdefault(pid, [])
+                cur = max_n.setdefault(pid, np.zeros(len(n), dtype=int))
+                max_n[pid] = np.maximum(cur, n)
+                a_by_pid.setdefault(pid, set()).add(tuple(a))
         for c in self.contigs:
             d.setdefault(c.pid, []).append(c)
             cur = max_n.setdefault(c.pid, np.zeros(len(c.n), dtype=int))
@@ -72,7 +92,7 @@ class SplitAnalysis(BaseAnalysis):
             if len(pid) == 1:
                 im = OnePopInferenceManager(
                     max_n[pid][0], data, hs, pid, polarization_error,
-                    precision=prec,
+                    precision=prec, local_data=self._hostlocal,
                 )
             else:
                 avals = a_by_pid[pid]
@@ -81,7 +101,7 @@ class SplitAnalysis(BaseAnalysis):
                 n1, n2 = max_n[pid]
                 im = TwoPopInferenceManager(
                     n1, n2, a1, a2, data, hs, pid, polarization_error,
-                    precision=prec,
+                    precision=prec, local_data=self._hostlocal,
                 )
             im.set_model(self._model)
             im.theta = self._theta

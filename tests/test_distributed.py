@@ -236,3 +236,89 @@ def test_two_process_hostlocal_estimate_cli(tmp_path):
         ["model"]["y"], float,
     )
     np.testing.assert_allclose(y0, ys, rtol=1e-4, atol=1e-6)
+
+
+def test_two_process_hostlocal_split_cli(tmp_path):
+    """Host-local ingestion through the SPLIT workflow: two joint-data
+    files, two CLI processes — each loads only its own file, the two-pop
+    manager all-reduces its key counts, and the split fit must match the
+    single-process oracle exactly (the M = 1 closed-form E-step consumes
+    only global aggregates, so the fits are bit-identical)."""
+    import json
+
+    from smcpp_tpu.data.vcf import SampleList, vcf2smc
+
+    p1 = SampleList("pop1", ["msp_0", "msp_1", "msp_2"])
+    p2 = SampleList("pop2", ["msp_3", "msp_4"])
+    p1b = SampleList("pop1", ["msp_1", "msp_2", "msp_0"])
+    f1 = str(tmp_path / "p1.smc.gz")
+    f2 = str(tmp_path / "p2.smc.gz")
+    f12a = str(tmp_path / "p12a.smc.gz")
+    f12b = str(tmp_path / "p12b.smc.gz")
+    vcf2smc("/root/reference/example/example.vcf.gz", f1, "1", p1)
+    vcf2smc("/root/reference/example/example.vcf.gz", f2, "1", p2)
+    vcf2smc("/root/reference/example/example.vcf.gz", f12a, "1", p1, p2)
+    vcf2smc("/root/reference/example/example.vcf.gz", f12b, "1", p1b, p2)
+
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=os.path.dirname(HERE),
+    )
+    # marginal fits (single-process, quick)
+    for name, fn in (("m1", f1), ("m2", f2)):
+        p = subprocess.run(
+            [sys.executable, "-m", "smcpp_tpu.commands.main", "estimate",
+             "--em-iterations", "1", "--knots", "4", "--seed", "0",
+             "-o", str(tmp_path / name), "1.25e-8", fn],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            timeout=420,
+        )
+        assert p.returncode == 0, p.stdout.decode(errors="replace")[-4000:]
+
+    cli = [sys.executable, "-m", "smcpp_tpu.commands.main", "split",
+           str(tmp_path / "m1" / "model.final.json"),
+           str(tmp_path / "m2" / "model.final.json"), f12a, f12b]
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            cli + ["-o", str(tmp_path / f"sp{i}"),
+                   "--coordinator", f"127.0.0.1:{port}",
+                   "--num-processes", "2", "--process-id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    for i, log in enumerate(logs):
+        assert f"host-local ingestion: process {i}/2 loads 1 of 2 files" \
+            in log, log[-4000:]
+
+    # single-process oracle
+    p = subprocess.run(
+        cli + ["-o", str(tmp_path / "sp_single")],
+        env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=420,
+    )
+    assert p.returncode == 0, p.stdout.decode(errors="replace")[-4000:]
+
+    def split_of(d):
+        return json.load(
+            open(tmp_path / d / "model.final.json")
+        )["model"]["split"]
+
+    s0, s1, ss = split_of("sp0"), split_of("sp1"), split_of("sp_single")
+    assert s0 == s1
+    np.testing.assert_allclose(s0, ss, rtol=1e-6, atol=1e-9)

@@ -62,3 +62,19 @@ def test_recorded_result_within_bounds():
     assert rec["gbp"] == 1.0
     assert rec["median_abs_log_err"] <= MEDIAN_BOUND
     assert rec["p90_abs_log_err"] <= P90_BOUND
+
+
+def test_recorded_sawtooth_c2_within_bounds():
+    """The C2 sawtooth artifact (80 Mb, hard oscillating truth): structure
+    recovery with SMC-characteristic time smoothing — the pointwise bound
+    is accordingly looser than the smooth-truth 1 Gbp config, and the
+    fast-M-step A/B recorded in the artifact must not have regressed the
+    sequential fixed point."""
+    fn = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        "benchmarks", "results", "sawtooth_c2_r4.json",
+    )
+    rec = json.load(open(fn))
+    assert rec["result"]["truth_abs_log_err_median"] <= 0.75
+    ab = rec["fast_vs_sequential_mstep"]
+    assert ab["fast"]["final_loglik"] >= ab["sequential"]["final_loglik"]
