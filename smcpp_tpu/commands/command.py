@@ -67,7 +67,7 @@ class Command:
             help="load the FULL dataset on every process instead of the "
                  "default host-local ingestion (each process loads and "
                  "filters only its own contiguous shard of the input "
-                 "files); required for posterior-decode workflows",
+                 "files)",
         )
 
     def main(self, args):

@@ -72,8 +72,40 @@ class Posterior(command.Command, command.ConsoleCommand):
         j = json.load(open(args.model))
         m = model_from_dict(j["model"])
         files = fmt.files_from_command_line_args(args.data)
+        from ..parallel import hostlocal
+
+        local_data = hostlocal.active() and not getattr(
+            args, "replicated_data", False
+        )
+        out_path = args.output
+        data_keys = list(args.data)
+        hdr = None
+        if local_data:
+            import jax
+
+            # multi-host posterior: each process decodes only its own
+            # contiguous shard of the input files and writes its own npz
+            # (<output>.procI); the window decode's global reduction uses
+            # the same host-local placement as estimate
+            headers = [fmt.load_header(f) for f in files]
+            if len({(p, tuple(n), tuple(a)) for p, n, a in headers}) > 1:
+                sys.exit("All data sets must share population / sample size")
+            hdr = headers[0]
+            all_files = files
+            files = hostlocal.shard_files(all_files)
+            data_keys = files  # npz keys = the expanded file paths
+            import os as _os
+
+            base, ext = _os.path.splitext(args.output)
+            # keep the .npz extension LAST (np.savez appends it otherwise)
+            out_path = f"{base}.proc{jax.process_index()}{ext or '.npz'}"
+            logger.info(
+                "host-local posterior: process %d/%d decodes %d of %d "
+                "files -> %s", jax.process_index(), jax.process_count(),
+                len(files), len(all_files), out_path,
+            )
         contigs = fmt.load_data(files)
-        if len({c.key for c in contigs}) > 1:
+        if not local_data and len({c.key for c in contigs}) > 1:
             sys.exit("All data sets must share population / sample size")
         hidden_states = estimation.balance_hidden_states(
             m.distinguished_model, args.M + 1
@@ -92,19 +124,25 @@ class Posterior(command.Command, command.ConsoleCommand):
             from ..data.filters import thin_data
 
             all_obs = [thin_data(o, args.thinning) for o in all_obs]
-        n = contigs[0].n
+        if hdr is not None:
+            # population structure from the GLOBAL headers: a process's
+            # shard may be empty, yet every process must build the same
+            # manager (its setup collectives must line up)
+            pid, n, a = hdr
+            n, a = np.asarray(n), np.asarray(a)
+        else:
+            pid, n, a = contigs[0].pid, contigs[0].n, contigs[0].a
         if len(n) == 1:
             im = OnePopInferenceManager(
-                n[0], all_obs, hidden_states, contigs[0].key[0],
-                args.polarization_error,
+                n[0], all_obs, hidden_states, tuple(pid),
+                args.polarization_error, local_data=local_data,
             )
         else:
             from ..inference.manager import TwoPopInferenceManager
 
-            a = contigs[0].a
             im = TwoPopInferenceManager(
                 n[0], n[1], a[0], a[1], all_obs, hidden_states,
-                contigs[0].key[0], args.polarization_error,
+                tuple(pid), args.polarization_error, local_data=local_data,
             )
         im.set_model(m)
         im.theta = j["theta"]
@@ -126,22 +164,22 @@ class Posterior(command.Command, command.ConsoleCommand):
             colsum = g.sum(axis=0)
             colsum[colsum == 0] = 1.0
             gammas.append(g / colsum)
-        kwargs = {path: g for path, g in zip(args.data, gammas)}
+        kwargs = {path: g for path, g in zip(data_keys, gammas)}
         kwargs.update(
-            {path + "_sites": o[:, 0] for path, o in zip(args.data, all_obs)}
+            {path + "_sites": o[:, 0] for path, o in zip(data_keys, all_obs)}
         )
         if args.map_path:
-            for path, p in zip(args.data, im.map_paths()):
+            for path, p in zip(data_keys, im.map_paths()):
                 kwargs[path + "_map"] = p[: len(kwargs[path + "_sites"])]
         if args.intervals:
-            for path, g in zip(args.data, gammas):
+            for path, g in zip(data_keys, gammas):
                 kwargs[path + "_quantiles"] = posterior_quantiles(
                     g, hidden_states, args.intervals
                 )
         np.savez_compressed(
-            args.output, hidden_states=hidden_states, **kwargs
+            out_path, hidden_states=hidden_states, **kwargs
         )
-        if args.heatmap:
+        if args.heatmap and gammas:
             self._heatmap(args, all_obs[0], gammas[0], hidden_states)
 
     def _heatmap(self, args, obs, gamma, hidden_states):

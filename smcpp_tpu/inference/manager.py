@@ -270,14 +270,17 @@ class _EagerQOps:
             # seg_of_contig (identical everywhere) keeps the jitted
             # program identical across processes.
             self._use_windows = True
-            self._wkeys, self._wvalid, self._soc = (
+            self._wkeys, self._wvalid, self._soc, self._wlocal = (
                 hostlocal.pack_windows_local(
                     data_list, self.em_idx.key_id(), self._mesh
                 )
             )
-            # window->row decode would need globally gathered row spans;
-            # decode commands run replicated ingestion instead
-            self._wrow_spans = None
+            # LOCAL contigs' row spans; the decode paths combine them
+            # with hostlocal.decode_row_placement (global row numbering
+            # is process-major = global file order)
+            self._wrow_spans = [
+                np.asarray(d)[:, 0].astype(np.int64) for d in data_list
+            ]
             return
         n_rows = int((spans > 0).sum())
         window_cost = self._total_bases
@@ -334,14 +337,18 @@ class _EagerQOps:
         one chip, per-shard segment-sum + psum on a mesh) — measured 0.49 s
         vs 93 s for the row-level AD decode at the binned C3 scale
         (5.5 Gbp), ~2x the E-step itself."""
-        if getattr(self, "_local_data", False):
-            raise NotImplementedError(
-                "posterior decode under host-local ingestion is not "
-                "supported yet — run decode workflows with "
-                "--replicated-data (every process loads the full dataset)"
-            )
         if self._use_windows and self._window_decode_fits():
             return self._window_decode(pi_d, T_d, E_d)
+        if getattr(self, "_local_data", False):
+            # the row-level fallback stages (C, Lmax) host arrays that
+            # host-local shards don't replicate; the window decode above
+            # is the only host-local decode
+            raise NotImplementedError(
+                "posterior decode under host-local ingestion needs the "
+                "window gamma stream to fit the HBM budget "
+                "(SMCPP_TPU_ESTREAM_BYTES) — raise the budget or run "
+                "with --replicated-data"
+            )
         if getattr(self, "_decode_fn", None) is None:
             if self._mesh is not None:
                 from ..parallel import mesh as mesh_mod
@@ -453,26 +460,37 @@ class _EagerQOps:
         from ..ops import window_kernel as wk
 
         if getattr(self, "_wdecode_fn", None) is None:
+            self._wrow_offset = 0
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from ..parallel import mesh as mesh_mod
 
-                rid, n_rows = wk.pack_window_row_ids(
-                    self._wrow_spans, self._wkeys.shape[1], self._soc
-                )
-                pad = self._wkeys.shape[0] - rid.shape[0]
-                if pad:
-                    # pad with n_rows (out of range -> dropped by
-                    # segment_sum), NOT 0: ids must stay globally sorted
-                    # for the indices_are_sorted hint, and the padded
-                    # segments sort after every real one
-                    rid = np.concatenate(
-                        [rid, np.full((pad, rid.shape[1]), n_rows,
-                                      rid.dtype)]
+                if getattr(self, "_local_data", False):
+                    from ..parallel import hostlocal
+
+                    rid_g, n_rows, self._wrow_offset, self._wrow_ends = (
+                        hostlocal.decode_row_placement(
+                            self._wrow_spans, self._wlocal
+                        )
                     )
-                sh = NamedSharding(self._mesh, P("data", None))
-                self._wrow_ids = jax.device_put(rid, sh)
+                    self._wrow_ids = rid_g
+                else:
+                    rid, n_rows = wk.pack_window_row_ids(
+                        self._wrow_spans, self._wkeys.shape[1], self._soc
+                    )
+                    pad = self._wkeys.shape[0] - rid.shape[0]
+                    if pad:
+                        # pad with n_rows (out of range -> dropped by
+                        # segment_sum), NOT 0: ids must stay globally
+                        # sorted for the indices_are_sorted hint, and the
+                        # padded segments sort after every real one
+                        rid = np.concatenate(
+                            [rid, np.full((pad, rid.shape[1]), n_rows,
+                                          rid.dtype)]
+                        )
+                    sh = NamedSharding(self._mesh, P("data", None))
+                    self._wrow_ids = jax.device_put(rid, sh)
                 self._wdecode_fn = mesh_mod.make_sharded_window_decode(
                     self._mesh, self._soc, n_rows,
                     precision=self._decode_precision(),
@@ -493,13 +511,16 @@ class _EagerQOps:
                 )
 
     def _window_decode(self, pi_d, T_d, E_d):
-        "Row-resolution gammas via the (mesh-)sharded window decode kernel."
+        """Row-resolution gammas via the (mesh-)sharded window decode
+        kernel.  Under host-local ingestion the psum'd (n_rows_global, M)
+        result lands on every process; this process keeps only its own
+        contigs' rows (offset = its global row offset)."""
         self._ensure_window_decode()
         _, g = self._wdecode_fn(
             pi_d, T_d, E_d, self._wkeys, self._wvalid, self._wrow_ids
         )
         g = np.asarray(g, np.float64)
-        out, off = [], 0
+        out, off = [], getattr(self, "_wrow_offset", 0)
         for spans in self._wrow_spans:
             out.append(g[off : off + len(spans)])
             off += len(spans)
@@ -514,17 +535,41 @@ class _EagerQOps:
         if (getattr(self, "_wvit_fn", None) is None
                 or getattr(self, "_wvit_block", None) != block):
             self._wvit_block = block
-            ends = wk.pack_window_row_ends(
-                self._wrow_spans, self._wkeys.shape[1], self._soc
-            )
-            if self._mesh is not None:
+            self._wvit_offset = 0
+            if getattr(self, "_local_data", False):
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel import hostlocal, mesh as mesh_mod
+
+                # global row ends gathered from every process's local
+                # placement; the sharded Viterbi picks each row's state
+                # from whichever shard owns its end window (order-free)
+                _, _, self._wvit_offset, ends = (
+                    hostlocal.decode_row_placement(
+                        self._wrow_spans, self._wlocal
+                    )
+                )
+                self._wvit_ends = jax.device_put(
+                    ends.astype(np.int64),
+                    NamedSharding(self._mesh, P()),
+                )
+                self._wvit_fn = mesh_mod.make_sharded_window_viterbi(
+                    self._mesh, self._soc, block=block
+                )
+            elif self._mesh is not None:
                 from ..parallel import mesh as mesh_mod
 
+                ends = wk.pack_window_row_ends(
+                    self._wrow_spans, self._wkeys.shape[1], self._soc
+                )
                 self._wvit_ends = jax.device_put(ends)
                 self._wvit_fn = mesh_mod.make_sharded_window_viterbi(
                     self._mesh, self._soc, block=block
                 )
             else:
+                ends = wk.pack_window_row_ends(
+                    self._wrow_spans, self._wkeys.shape[1], self._soc
+                )
                 self._wvit_ends = jax.device_put(ends, self._device)
                 soc = self._soc
                 self._wvit_fn = jax.jit(
@@ -542,7 +587,7 @@ class _EagerQOps:
                 self._wkeys, self._wvalid, self._wvit_ends,
             )
         )
-        out, off = [], 0
+        out, off = [], getattr(self, "_wvit_offset", 0)
         for spans in self._wrow_spans:
             out.append(states[off : off + len(spans)].astype(np.int32))
             off += len(spans)
@@ -560,11 +605,6 @@ class _EagerQOps:
         decoder accumulates absolute scores ~ -1e5 in a scalar, past f32
         ranking resolution.  A split row reports the MAP state at the
         original row's END — the same convention as unsplit rows."""
-        if getattr(self, "_local_data", False):
-            raise NotImplementedError(
-                "MAP decode under host-local ingestion is not supported "
-                "yet — run decode workflows with --replicated-data"
-            )
         pi, T, E = self.tensors()
         if self._use_windows:
             if self._window_viterbi_fits():
@@ -591,6 +631,11 @@ class _EagerQOps:
             mesh_is_cpu = self._mesh is not None and all(
                 d.platform == "cpu" for d in self._devices
             )
+            # host-local shards: Viterbi is per-contig independent, so
+            # each process decodes its OWN contigs on its own CPU device
+            # (the sharded variant would replicate local host arrays)
+            if getattr(self, "_local_data", False):
+                mesh_is_cpu = False
             if mesh_is_cpu:
                 from ..parallel import mesh as mesh_mod
 

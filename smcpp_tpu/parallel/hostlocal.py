@@ -208,6 +208,11 @@ def pack_windows_local(data_list, key_id, mesh, pad_key=0, seg_target=8192,
     gshape = (S_global, L)
     rows = owned_rows(sh, gshape)
     assert len(rows) == block, (len(rows), block)
+    # real local segments must land on an ASCENDING run of global rows:
+    # decode row ids and Viterbi row ends rely on local stream order
+    # mapping to increasing global flat positions (true whenever the mesh
+    # device order groups processes, which make_mesh's id sort gives)
+    assert np.all(np.diff(rows) > 0)
     gkeys = jax.make_array_from_process_local_data(sh, keys_l, gshape)
     gvalid = jax.make_array_from_process_local_data(sh, valid_l, gshape)
 
@@ -227,4 +232,68 @@ def pack_windows_local(data_list, key_id, mesh, pad_key=0, seg_target=8192,
         rows[0] if len(rows) else "-", rows[-1] if len(rows) else "-",
         S_global, L,
     )
-    return gkeys, gvalid, soc
+    import types
+
+    local = types.SimpleNamespace(
+        rows=rows, seg_ids=seg_ids, block=block, L=L, sharding=sh,
+        gshape=gshape,
+    )
+    return gkeys, gvalid, soc, local
+
+
+# ---------------------------------------------------------------------------
+# Window -> row decode placement (posterior / Viterbi under host-local).
+# ---------------------------------------------------------------------------
+
+def decode_row_placement(spans_list, local):
+    """Row-id / row-end staging for the window decodes when each process
+    packed only its own contigs (pack_windows_local).
+
+    Rows are numbered process-major (= global file order, since file
+    shards are contiguous).  Returns
+    (row_ids, n_rows, row_offset, ends_global):
+
+    * row_ids: GLOBAL (S_global, L) int32 jax.Array, placed per process
+      (make_array_from_process_local_data) — window -> global row id;
+      padding maps to the preceding row (zero gamma) inside real
+      segments and to ``n_rows`` (dropped by segment_sum) on the
+      all-padding rows, preserving per-shard sortedness.
+    * n_rows: global compressed-row total.
+    * row_offset: first global row id owned by THIS process.
+    * ends_global: (n_rows,) int64 host array — each row's LAST window's
+      flat segment-major position (order-free consumers only: the mesh
+      Viterbi picks by position with a psum, it never assumes
+      monotonicity across processes)."""
+    counts = _gather_stacked(
+        np.int64(sum(len(s) for s in spans_list))
+    )
+    off = int(counts[: jax.process_index()].sum())
+    n_rows = int(counts.sum())
+    L, block = local.L, local.block
+    rows, seg_ids = local.rows, local.seg_ids
+    rid_l = np.full((block, L), n_rows, np.int32)
+    ends = []
+    o = off
+    for c, spans in enumerate(spans_list):
+        spans = np.asarray(spans, dtype=np.int64)
+        ids = np.repeat(
+            np.arange(o, o + len(spans), dtype=np.int32), spans
+        )
+        segs = np.asarray(seg_ids[c], dtype=np.int64)
+        for j, sl in enumerate(segs):
+            chunk = ids[j * L : (j + 1) * L]
+            rid_l[sl, : len(chunk)] = chunk
+            if len(chunk) < L and len(chunk):
+                rid_l[sl, len(chunk):] = chunk[-1]
+        w_end = np.cumsum(spans) - 1
+        ends.append(rows[segs[w_end // L]] * L + (w_end % L))
+        o += len(spans)
+    ends_l = (
+        np.concatenate(ends).astype(np.int64)
+        if ends else np.zeros(0, np.int64)
+    )
+    ends_global = allgather_concat(ends_l)
+    row_ids = jax.make_array_from_process_local_data(
+        local.sharding, rid_l, local.gshape
+    )
+    return row_ids, n_rows, off, ends_global

@@ -322,3 +322,87 @@ def test_two_process_hostlocal_split_cli(tmp_path):
     s0, s1, ss = split_of("sp0"), split_of("sp1"), split_of("sp_single")
     assert s0 == s1
     np.testing.assert_allclose(s0, ss, rtol=1e-6, atol=1e-9)
+
+
+def test_two_process_hostlocal_posterior_cli(tmp_path):
+    """Host-local posterior decode (round 4): two data files, two CLI
+    processes — each loads only its own file, the window decode reduces
+    over the global mesh, and each process writes ITS shard's gammas and
+    MAP path to <output>.procI.  Must match the single-process decode."""
+    import json
+
+    from smcpp_tpu.data.vcf import SampleList, vcf2smc
+
+    smc0 = str(tmp_path / "a.smc.gz")
+    smc1 = str(tmp_path / "b.smc.gz")
+    vcf2smc(
+        "/root/reference/example/example.vcf.gz", smc0, "1",
+        SampleList("pop1", ["msp_0", "msp_1", "msp_2", "msp_3", "msp_4"]),
+    )
+    vcf2smc(
+        "/root/reference/example/example.vcf.gz", smc1, "1",
+        SampleList("pop1", ["msp_3", "msp_0", "msp_1", "msp_2", "msp_4"]),
+    )
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=os.path.dirname(HERE),
+    )
+    # quick marginal fit to decode against
+    p = subprocess.run(
+        [sys.executable, "-m", "smcpp_tpu.commands.main", "estimate",
+         "--em-iterations", "1", "--knots", "4", "--seed", "0",
+         "-o", str(tmp_path / "fit"), "1.25e-8", smc0],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=420,
+    )
+    assert p.returncode == 0, p.stdout.decode(errors="replace")[-4000:]
+    model = str(tmp_path / "fit" / "model.final.json")
+
+    cli = [sys.executable, "-m", "smcpp_tpu.commands.main", "posterior",
+           "--M", "8", "--map", model]
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            cli + [str(tmp_path / "post.npz"), smc0, smc1,
+                   "--coordinator", f"127.0.0.1:{port}",
+                   "--num-processes", "2", "--process-id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    for i, log in enumerate(logs):
+        assert f"host-local posterior: process {i}/2 decodes 1 of 2" \
+            in log, log[-4000:]
+
+    # single-process oracle
+    p = subprocess.run(
+        cli + [str(tmp_path / "single.npz"), smc0, smc1],
+        env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=420,
+    )
+    assert p.returncode == 0, p.stdout.decode(errors="replace")[-4000:]
+    ref = np.load(str(tmp_path / "single.npz"))
+    for i, smc in enumerate((smc0, smc1)):
+        z = np.load(str(tmp_path / f"post.proc{i}.npz"))
+        assert set(z.files) == {
+            "hidden_states", smc, smc + "_sites", smc + "_map"
+        }
+        np.testing.assert_allclose(z[smc], ref[smc], rtol=2e-4, atol=2e-5)
+        np.testing.assert_array_equal(z[smc + "_map"], ref[smc + "_map"])
+        np.testing.assert_array_equal(
+            z[smc + "_sites"], ref[smc + "_sites"]
+        )
