@@ -104,7 +104,13 @@ def prep():
     print(json.dumps(out))
 
 
-def run():
+def measure(em_iterations=2, decode=True):
+    """Measure the real-pipeline C3 numbers on the default device.
+
+    Importable (bench.py folds the result into the driver-captured JSON
+    line — VERDICT r3 "what's weak" 1: these numbers were previously
+    builder-reported prose only).  Requires the cached prep data; returns a
+    flat dict of timings."""
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -141,58 +147,128 @@ def run():
         times.append(time.perf_counter() - t0)
     t_e = float(np.median(times))
 
-    # posterior decode (gammas at row resolution) + MAP paths
-    im.save_gamma = True
-    t0 = time.perf_counter()
-    im.E_step()
-    t_decode_warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    im.E_step()
-    t_decode = time.perf_counter() - t0
-    im.save_gamma = False
-
-    # kernel-only decode (the wall number above includes pulling the
-    # (n_rows, M) result through this machine's ~20 MB/s TPU tunnel —
-    # a local-environment artifact, not a property of the decode)
-    t_decode_kernel = None
-    if getattr(im, "_wdecode_fn", None) is not None:
-        pi_d, T_d, E_d = (
-            jax.device_put(jnp.asarray(np.asarray(x), im._estep_dtype),
-                           im._device)
-            for x in im.tensors()
-        )
-        o = im._wdecode_fn(pi_d, T_d, E_d, im._wkeys, im._wvalid,
-                           im._wrow_ids)
-        jax.block_until_ready(o)
-        t0 = time.perf_counter()
-        o = im._wdecode_fn(pi_d, T_d, E_d, im._wkeys, im._wvalid,
-                           im._wrow_ids)
-        jax.block_until_ready(o)
-        t_decode_kernel = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    paths = im.map_paths()
-    t_map = time.perf_counter() - t0
-
     out = {
-        "phase": "run",
-        "metric": "real_pipeline_estep_throughput",
-        "value": round(total_bases / t_e / 1e9, 2),
-        "unit": "Gbp/s",
+        "real_pipeline_gbps": round(total_bases / t_e / 1e9, 2),
         "total_gbp": round(total_bases / 1e9, 2),
         "estep_s": round(t_e, 3),
         "estep_warmup_s": round(t_warm, 1),
         "loglik": float(ll),
-        "decode_s": round(t_decode - t_e, 3),
-        "decode_kernel_s": (None if t_decode_kernel is None
-                            else round(t_decode_kernel, 3)),
-        "decode_kernel_gbps": (None if t_decode_kernel is None else
-                               round(total_bases / t_decode_kernel / 1e9, 2)),
-        "decode_warmup_s": round(t_decode_warm, 1),
-        "viterbi_s": round(t_map, 3),
         "n_keys": int(im.em_idx.n_keys),
         "kernel": "window" if im._use_windows else "span",
     }
+
+    if decode:
+        # posterior decode (gammas at row resolution) + MAP paths
+        im.save_gamma = True
+        t0 = time.perf_counter()
+        im.E_step()
+        t_decode_warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        im.E_step()
+        t_decode = time.perf_counter() - t0
+        im.save_gamma = False
+
+        # kernel-only decode (the wall number above includes pulling the
+        # (n_rows, M) result through this machine's ~20 MB/s TPU tunnel —
+        # a local-environment artifact, not a property of the decode)
+        t_decode_kernel = None
+        if getattr(im, "_wdecode_fn", None) is not None:
+            pi_d, T_d, E_d = (
+                jax.device_put(jnp.asarray(np.asarray(x), im._estep_dtype),
+                               im._device)
+                for x in im.tensors()
+            )
+            o = im._wdecode_fn(pi_d, T_d, E_d, im._wkeys, im._wvalid,
+                               im._wrow_ids)
+            jax.block_until_ready(o)
+            t0 = time.perf_counter()
+            o = im._wdecode_fn(pi_d, T_d, E_d, im._wkeys, im._wvalid,
+                               im._wrow_ids)
+            jax.block_until_ready(o)
+            t_decode_kernel = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        im.map_paths()
+        t_map = time.perf_counter() - t0
+        out.update(
+            decode_s=round(t_decode - t_e, 3),
+            decode_kernel_s=(None if t_decode_kernel is None
+                             else round(t_decode_kernel, 3)),
+            decode_kernel_gbps=(
+                None if t_decode_kernel is None
+                else round(total_bases / t_decode_kernel / 1e9, 2)),
+            decode_warmup_s=round(t_decode_warm, 1),
+            viterbi_s=round(t_map, 3),
+        )
+
+    if em_iterations:
+        # full EM iterations through the real optimizer (E-step + scale +
+        # rho + per-knot coordinate M-step); first iteration pays the
+        # Q/coarse-prefetch compiles, later ones are steady state
+        from smcpp_tpu.inference.optimizer import SMCPPOptimizer
+
+        class _A:
+            model = m
+            _ims = {("pop1",): im}
+            _theta = 1e-4
+            _penalty = 0.0
+            has_fast_batch = True
+
+            # forward rho to the manager like the real Analysis does —
+            # otherwise the optimizer's rho update lands on a dead
+            # attribute and every measured iteration re-runs the same
+            # search from stale state
+            @property
+            def rho(self):
+                return im.rho
+
+            @rho.setter
+            def rho(self, x):
+                im.rho = x
+
+            def Q_batch(self, ys=None, rhos=None, coarse=False):
+                return im.Q_batch(ys=ys, rhos=rhos, fast_ok=coarse)
+
+            def Q_and_grad(self, y=None):
+                return im.Q_and_grad(y=y)
+
+            def Q(self, **kw):
+                return im.Q(**kw)
+
+            def E_step(self):
+                im.E_step()
+
+            def loglik(self):
+                return im.loglik()
+
+            def dump(self, fn):
+                pass
+
+        opt = SMCPPOptimizer(_A(), single=True, learn_rho=True)
+        t0 = time.perf_counter()
+        opt.run(1)
+        em_warm = time.perf_counter() - t0
+        # iteration #2 pays the one-time coarse-prefetch compile
+        opt._old_loglik = None
+        opt.run(1)
+        em_times = []
+        for _ in range(em_iterations):
+            opt._old_loglik = None  # disarm ftol: measure full iterations
+            t0 = time.perf_counter()
+            opt.run(1)
+            em_times.append(time.perf_counter() - t0)
+        out.update(
+            em_iteration_s=round(float(np.median(em_times)), 3),
+            em_warmup_s=round(em_warm, 1),
+        )
+    return out
+
+
+def run():
+    out = {"phase": "run", "metric": "real_pipeline_estep_throughput",
+           "unit": "Gbp/s"}
+    out.update(measure())
+    out["value"] = out["real_pipeline_gbps"]
     print(json.dumps(out))
 
 

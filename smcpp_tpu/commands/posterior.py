@@ -87,12 +87,11 @@ class Posterior(command.Command, command.ConsoleCommand):
             # contiguous shard of the input files and writes its own npz
             # (<output>.procI); the window decode's global reduction uses
             # the same host-local placement as estimate
-            headers = [fmt.load_header(f) for f in files]
+            all_files = files
+            headers, files = hostlocal.shard_ingestion(all_files)
             if len({(p, tuple(n), tuple(a)) for p, n, a in headers}) > 1:
                 sys.exit("All data sets must share population / sample size")
             hdr = headers[0]
-            all_files = files
-            files = hostlocal.shard_files(all_files)
             data_keys = files  # npz keys = the expanded file paths
             import os as _os
 
@@ -180,6 +179,14 @@ class Posterior(command.Command, command.ConsoleCommand):
             out_path, hidden_states=hidden_states, **kwargs
         )
         if args.heatmap and gammas:
+            if local_data:
+                # each process plots the first contig of ITS shard; suffix
+                # the path like the npz so processes never race on one file
+                import jax
+                import os as _os
+
+                base, ext = _os.path.splitext(args.heatmap)
+                args.heatmap = f"{base}.proc{jax.process_index()}{ext}"
             self._heatmap(args, all_obs[0], gammas[0], hidden_states)
 
     def _heatmap(self, args, obs, gamma, hidden_states):

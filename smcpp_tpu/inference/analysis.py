@@ -54,21 +54,13 @@ class BaseAnalysis:
                 type(self).__name__,
             )
         if self._hostlocal:
-            import jax
-
             from ..data import format as fmt
 
             all_files = fmt.files_from_command_line_args(files)
             # every process reads only the one-line headers of ALL files
             # (population structure, sample sizes) and full data for its
             # own contiguous shard
-            self._headers = [fmt.load_header(f) for f in all_files]
-            files = hostlocal.shard_files(all_files)
-            logger.info(
-                "host-local ingestion: process %d/%d loads %d of %d files",
-                jax.process_index(), jax.process_count(),
-                len(files), len(all_files),
-            )
+            self._headers, files = hostlocal.shard_ingestion(all_files)
 
         pipe = self._pipeline = df.DataPipeline(files)
         pipe.add_filter(load_data=df.LoadData(cores=getattr(args, 'cores', None)))

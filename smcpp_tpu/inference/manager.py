@@ -455,6 +455,19 @@ class _EagerQOps:
         p = self.precision
         return p if p == "highest" else "tensorfloat32"
 
+    def _hostlocal_row_placement(self):
+        """Cached hostlocal.decode_row_placement: the gamma decode and the
+        Viterbi need the same (row_ids, n_rows, offset, ends), and the
+        placement costs gather collectives + a global (S, L) int32 array —
+        compute it once per manager."""
+        if getattr(self, "_wplacement", None) is None:
+            from ..parallel import hostlocal
+
+            self._wplacement = hostlocal.decode_row_placement(
+                self._wrow_spans, self._wlocal
+            )
+        return self._wplacement
+
     def _ensure_window_decode(self):
         "Build (once) the jitted window-decode program + row-id staging."
         from ..ops import window_kernel as wk
@@ -467,12 +480,8 @@ class _EagerQOps:
                 from ..parallel import mesh as mesh_mod
 
                 if getattr(self, "_local_data", False):
-                    from ..parallel import hostlocal
-
-                    rid_g, n_rows, self._wrow_offset, self._wrow_ends = (
-                        hostlocal.decode_row_placement(
-                            self._wrow_spans, self._wlocal
-                        )
+                    rid_g, n_rows, self._wrow_offset, _ = (
+                        self._hostlocal_row_placement()
                     )
                     self._wrow_ids = rid_g
                 else:
@@ -539,15 +548,13 @@ class _EagerQOps:
             if getattr(self, "_local_data", False):
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                from ..parallel import hostlocal, mesh as mesh_mod
+                from ..parallel import mesh as mesh_mod
 
                 # global row ends gathered from every process's local
                 # placement; the sharded Viterbi picks each row's state
                 # from whichever shard owns its end window (order-free)
                 _, _, self._wvit_offset, ends = (
-                    hostlocal.decode_row_placement(
-                        self._wrow_spans, self._wlocal
-                    )
+                    self._hostlocal_row_placement()
                 )
                 self._wvit_ends = jax.device_put(
                     ends.astype(np.int64),
@@ -1145,8 +1152,24 @@ class OnePopInferenceManager(_EagerQOps):
 
     # ------------------------------------------------------------------
     def E_step(self):
-        if len(self.hidden_states) == 2 and not self.save_gamma:
-            return self._estep_m1()
+        if len(self.hidden_states) == 2:
+            ll = self._estep_m1()
+            if self.save_gamma:
+                # single hidden interval: each row's posterior mass is its
+                # span, exactly — no kernel decode needed (and the kernel
+                # staging paths are not built at M=1; under host-local the
+                # span-kernel mesh staging does not exist at all)
+                spans = np.asarray(self._spans)
+                out = []
+                for i, reps in enumerate(self._row_reps):
+                    nsub = int(reps.sum())
+                    s = spans[i, :nsub].astype(np.float64)
+                    if reps.max(initial=1) > 1:
+                        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+                        s = np.add.reduceat(s, offs)
+                    out.append(s[:, None])
+                self.gammas = out
+            return ll
         if self._device_setup_ok():
             pi_d, T_d, E_d = self._setup_fast_tensors()(
                 np.asarray(self.model.y, np.float64),

@@ -145,8 +145,14 @@ class SMCPPOptimizer:
             xs0, v0 = prefetch[k]
             v0 = np.where(np.isfinite(v0), v0, -np.inf)
             j = int(np.argmax(v0))
-            if not (0 < j < len(xs0) - 1 and np.isfinite(v0[j])):
-                return False  # edge/non-finite argmax: stale-drift symptom
+            if not (
+                0 < j < len(xs0) - 1
+                and np.isfinite(v0[j - 1 : j + 2]).all()
+            ):
+                # edge argmax or a non-finite NEIGHBOR (the parabola needs
+                # the full triple): stale-drift/degeneracy symptom — redo
+                # this iteration's knot loop sequentially
+                return False
             w = xs0[1] - xs0[0]
             if 2.0 * w > 6.0 * self._xtol:
                 return False  # bracket not converged: genuine zoom needed

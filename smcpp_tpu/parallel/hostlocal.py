@@ -60,6 +60,23 @@ def shard_files(files):
     return [str(f) for f in parts[jax.process_index()]]
 
 
+def shard_ingestion(all_files):
+    """One-line headers of ALL files + this process's contiguous file
+    shard — the shared entry of every host-local command (estimate /
+    split via BaseAnalysis, posterior directly), so file assignment and
+    header parsing can never diverge between them."""
+    from ..data import format as fmt
+
+    headers = [fmt.load_header(str(f)) for f in all_files]
+    local = shard_files(all_files)
+    logger.info(
+        "host-local ingestion: process %d/%d loads %d of %d files",
+        jax.process_index(), jax.process_count(),
+        len(local), len(all_files),
+    )
+    return headers, local
+
+
 # ---------------------------------------------------------------------------
 # Tiny setup-time collectives.  process_allgather requires equal shapes on
 # every process, so variable-length contributions are padded to the global

@@ -189,6 +189,39 @@ def test_manager_memory_gate_toggles_remat(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-6)
 
 
+def test_m1_save_gamma_closed_form():
+    """save_gamma at M = 1 (trivial hidden states) returns each row's span
+    directly — no kernel decode runs (none is staged at M = 1, and under
+    host-local ingestion the span-kernel mesh staging does not exist)."""
+    from smcpp_tpu.inference.manager import OnePopInferenceManager
+    from smcpp_tpu.models import SMCModel
+
+    rng = np.random.RandomState(4)
+    n_rows = 50
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(1, 2000, n_rows)
+    data[5, 0] = 200000  # split by pack_observations
+    data[:, 1] = rng.randint(0, 2, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows)
+
+    m = SMCModel([0.01, 3.0], 20000.0, "piecewise")
+    m.y[:] = 0.0
+    im = OnePopInferenceManager(
+        2, [data], np.array([0.0, np.inf]), ("pop1",), 0.5
+    )
+    im.set_model(m)
+    im.theta = 1e-4
+    im.rho = 1e-4
+    im.alpha = 1
+    im.save_gamma = True
+    ll = im.E_step()
+    assert np.isfinite(ll)
+    g = im.gammas[0]
+    assert g.shape == (n_rows, 1)
+    np.testing.assert_array_equal(g[:, 0], data[:, 0])
+
+
 def test_hbm_budget_sources(monkeypatch):
     """The window-stream budget derives from the DEVICE's memory
     (0.375 x bytes_limit — VERDICT r3 item 6: no hard-coded 6e9 on
