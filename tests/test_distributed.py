@@ -90,7 +90,10 @@ def test_two_process_estimate_cli(tmp_path):
 
     With ONE input file and host-local ingestion (the multi-process
     default since round 4), process 1's shard is EMPTY — this also
-    pins the zero-contig edge of the host-local path."""
+    pins the zero-contig edge of the host-local path.  A second pair
+    runs with --replicated-data to keep the escape hatch exercised:
+    its fit must equal the host-local one exactly (the global
+    statistics are identical either way)."""
     from smcpp_tpu.data.vcf import SampleList, vcf2smc
 
     smc = str(tmp_path / "ex.smc.gz")
@@ -152,6 +155,37 @@ def test_two_process_estimate_cli(tmp_path):
         ["model"]["y"], float,
     )
     np.testing.assert_allclose(y0, ys, rtol=1e-4, atol=1e-6)
+
+    # --replicated-data escape hatch: every process loads the full
+    # dataset; same fit to sharded-reduction noise (the two modes pad
+    # the segment layout differently, so not bit-identical)
+    port2 = _free_port()
+    procs = [
+        subprocess.Popen(
+            cli + ["-o", str(tmp_path / f"rep{i}"), "--replicated-data",
+                   "--coordinator", f"127.0.0.1:{port2}",
+                   "--num-processes", "2", "--process-id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+        assert "host-local ingestion" not in log
+    yr = np.asarray(
+        json.load(open(tmp_path / "rep0" / "model.final.json"))
+        ["model"]["y"], float,
+    )
+    np.testing.assert_allclose(y0, yr, rtol=1e-4, atol=1e-6)
 
 
 def test_two_process_hostlocal_estimate_cli(tmp_path):
