@@ -114,16 +114,44 @@ def main():
     dt_s = float(np.median(times))
     total_bases = float(C * WINDOWS) * W
     gbps = total_bases / dt_s / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "estep_throughput",
-                "value": round(gbps, 3),
-                "unit": "Gbp/s",
-                "vs_baseline": round(gbps / REFERENCE_ESTEP_GBP_PER_SEC, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "estep_throughput",
+        "value": round(gbps, 3),
+        "unit": "Gbp/s",
+        "vs_baseline": round(gbps / REFERENCE_ESTEP_GBP_PER_SEC, 2),
+    }
+    out.update(real_pipeline_metrics())
+    print(json.dumps(out))
+
+
+def real_pipeline_metrics():
+    """Through-the-manager numbers on the REAL C3 pipeline data (cached
+    prep from benchmarks/real_pipeline_c3.py --prep): E-step Gbp/s, gamma
+    decode, window Viterbi, and full EM-iteration wall — folded into the
+    driver-captured JSON line so the round's perf story is verifiable, not
+    builder-reported (VERDICT r3 item 3).  Skipped (with a reason) when the
+    prep cache is absent or SMCPP_TPU_BENCH_FAST=1."""
+    import os
+    import sys
+    import traceback
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    import real_pipeline_c3 as rp
+
+    if os.environ.get("SMCPP_TPU_BENCH_FAST") == "1":
+        return {"real_pipeline": "skipped (SMCPP_TPU_BENCH_FAST=1)"}
+    if not os.path.exists(rp.CACHE):
+        return {"real_pipeline": f"skipped (no prep cache at {rp.CACHE}; "
+                                 "run real_pipeline_c3.py --prep)"}
+    try:
+        m = rp.measure()
+    except Exception:
+        traceback.print_exc()
+        return {"real_pipeline": "error (traceback on stderr)"}
+    keep = ("real_pipeline_gbps", "total_gbp", "estep_s", "decode_s",
+            "decode_kernel_s", "decode_kernel_gbps", "viterbi_s",
+            "em_iteration_s", "kernel")
+    return {k: m[k] for k in keep if k in m}
 
 
 if __name__ == "__main__":

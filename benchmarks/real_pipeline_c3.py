@@ -104,13 +104,14 @@ def prep():
     print(json.dumps(out))
 
 
-def measure(em_iterations=2, decode=True):
+def measure(em_iterations=2, decode=True, max_contigs=None):
     """Measure the real-pipeline C3 numbers on the default device.
 
     Importable (bench.py folds the result into the driver-captured JSON
     line — VERDICT r3 "what's weak" 1: these numbers were previously
     builder-reported prose only).  Requires the cached prep data; returns a
-    flat dict of timings."""
+    flat dict of timings.  ``max_contigs`` subsets the cached data (CPU
+    smoke tests of this script itself)."""
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -121,7 +122,10 @@ def measure(em_iterations=2, decode=True):
     from smcpp_tpu.models import SMCModel
 
     z = np.load(CACHE)
-    data = [z[f"c{i}"] for i in range(int(z["n_contigs"]))]
+    nc = int(z["n_contigs"])
+    if max_contigs:
+        nc = min(nc, int(max_contigs))
+    data = [z[f"c{i}"] for i in range(nc)]
     windows = sum(d[:, 0].sum() for d in data)
     total_bases = float(windows) * W  # each window is one w-bp bin
 
