@@ -440,3 +440,53 @@ def test_two_process_hostlocal_posterior_cli(tmp_path):
         np.testing.assert_array_equal(
             z[smc + "_sites"], ref[smc + "_sites"]
         )
+
+
+def test_fingerprint_guard_catches_dtype_mismatch(tmp_path):
+    """The fingerprint collective preceding every host-local gather must
+    FAIL LOUDLY when processes contribute different dtypes — a mismatched
+    gloo allgather otherwise silently delivers corrupt bytes (the
+    np.bincount-int64-on-empty bug this guard was built for)."""
+    worker = tmp_path / "w.py"
+    worker.write_text(
+        "import sys\n"
+        "import jax\n"
+        "import numpy as np\n"
+        "i = int(sys.argv[1])\n"
+        "jax.distributed.initialize(\n"
+        "    coordinator_address=sys.argv[2], num_processes=2, process_id=i\n"
+        ")\n"
+        "from smcpp_tpu.parallel import hostlocal\n"
+        "x = np.zeros(3, np.float64 if i == 0 else np.int64)\n"
+        "try:\n"
+        "    hostlocal.allreduce_sum(x)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'mismatch' in str(e), e\n"
+        "    print('GUARD-OK')\n"
+        "else:\n"
+        "    print('GUARD-MISSED')\n"
+    )
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=os.path.dirname(HERE),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), f"127.0.0.1:{port}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        out = stdout.decode(errors="replace")
+        assert "GUARD-OK" in out, out[-2000:]
