@@ -490,3 +490,88 @@ def test_fingerprint_guard_catches_dtype_mismatch(tmp_path):
             raise
         out = stdout.decode(errors="replace")
         assert "GUARD-OK" in out, out[-2000:]
+
+
+def test_two_process_hostlocal_twopop_posterior_cli(tmp_path):
+    """Two-population posterior under host-local ingestion: the two-pop
+    manager shares the window decode machinery, so joint data decodes
+    host-locally too — two joint files, two processes, each writes its
+    shard's npz; gammas must match the single-process decode."""
+    import json
+
+    from smcpp_tpu.data.vcf import SampleList, vcf2smc
+    from smcpp_tpu.models import SMCModel, SMCTwoPopulationModel
+
+    p1 = SampleList("pop1", ["msp_0", "msp_1", "msp_2"])
+    p2 = SampleList("pop2", ["msp_3", "msp_4"])
+    p1b = SampleList("pop1", ["msp_1", "msp_2", "msp_0"])
+    f1 = str(tmp_path / "p1.smc.gz")
+    f12a = str(tmp_path / "p12a.smc.gz")
+    f12b = str(tmp_path / "p12b.smc.gz")
+    vcf2smc("/root/reference/example/example.vcf.gz", f1, "1", p1)
+    vcf2smc("/root/reference/example/example.vcf.gz", f12a, "1", p1, p2)
+    vcf2smc("/root/reference/example/example.vcf.gz", f12b, "1", p1b, p2)
+
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=os.path.dirname(HERE),
+    )
+    p = subprocess.run(
+        [sys.executable, "-m", "smcpp_tpu.commands.main", "estimate",
+         "--em-iterations", "1", "--knots", "4", "--seed", "0",
+         "-o", str(tmp_path / "fit"), "1.25e-8", f1],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=420,
+    )
+    assert p.returncode == 0, p.stdout.decode(errors="replace")[-4000:]
+
+    d = json.load(open(tmp_path / "fit" / "model.final.json"))
+    m1 = SMCModel.from_dict(d["model"])
+    m2 = SMCModel.from_dict(d["model"])
+    m1._pid = "pop1"
+    m2._pid = "pop2"
+    jm = SMCTwoPopulationModel(m1, m2, float(m1.knots[-1]) / 2)
+    jfit = tmp_path / "joint.json"
+    json.dump(
+        {"model": jm.to_dict(), "theta": d["theta"], "rho": d["rho"],
+         "alpha": d["alpha"], "hidden_states": d["hidden_states"]},
+        open(jfit, "w"),
+    )
+
+    cli = [sys.executable, "-m", "smcpp_tpu.commands.main", "posterior",
+           "--M", "8", str(jfit)]
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            cli + [str(tmp_path / "post.npz"), f12a, f12b,
+                   "--coordinator", f"127.0.0.1:{port}",
+                   "--num-processes", "2", "--process-id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    p = subprocess.run(
+        cli + [str(tmp_path / "single.npz"), f12a, f12b],
+        env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=420,
+    )
+    assert p.returncode == 0, p.stdout.decode(errors="replace")[-4000:]
+    ref = np.load(str(tmp_path / "single.npz"))
+    for i, smc in enumerate((f12a, f12b)):
+        z = np.load(str(tmp_path / f"post.proc{i}.npz"))
+        np.testing.assert_allclose(z[smc], ref[smc], rtol=2e-4, atol=2e-5)
