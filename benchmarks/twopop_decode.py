@@ -148,16 +148,22 @@ def main():
     jax.block_until_ready(o)
     t_decode_kernel = time.perf_counter() - t0
 
-    # oracle check on the probe contig: span-kernel f64 row gammas
+    # oracle check on the probe contig: span-kernel f64 row gammas.
+    # Runs on the CPU backend — the oracle is tiny, and the accelerator
+    # has no native f64 (an earlier run faulted the TPU worker on this
+    # emulated-f64 program after the large decode streams were resident).
     g = im.gammas[-1]
     pi, T, E = (np.asarray(x, np.float64) for x in im.tensors())
-    ref = np.asarray(
-        hmm.posterior_gammas(
-            jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
-            np.asarray(im._spans[-1]), np.asarray(im._keys[-1]),
-            im._nbits, im._chunk,
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        ref = np.asarray(
+            hmm.posterior_gammas(
+                jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+                jnp.asarray(np.asarray(im._spans[-1])),
+                jnp.asarray(np.asarray(im._keys[-1])),
+                im._nbits, im._chunk,
+            )
         )
-    )
     reps = im._row_reps[-1]
     nsub = int(reps.sum())
     offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
