@@ -388,15 +388,28 @@ class _EagerQOps:
     # bf16 alpha carry even after precision escalation made it f32, and the
     # Viterbi reused the gamma decode's 6 B although its stream is 1 B).
 
-    def _hbm_budget(self):
+    # HBM per TPU generation, used when the backend reports no
+    # memory_stats (the remote/tunneled plugin returns None even on real
+    # hardware).  Substring-matched against device_kind.
+    _DEVICE_HBM = (
+        ("v5 lite", 16e9), ("v5e", 16e9), ("v5p", 95e9),
+        ("v6 lite", 32e9), ("v6e", 32e9), ("v4", 32e9), ("v3", 16e9),
+    )
+
+    def _hbm_budget(self, frac=0.375):
         """Per-device byte budget for window-state streams.
 
-        Derived from the actual device's memory (37.5% of bytes_limit —
-        the stream shares HBM with the packed windows, operator
-        staging, and XLA transients; 37.5% reproduces the measured-safe
-        6 GB envelope on a 16 GB v5e and scales to 32 GB v4 parts).
-        SMCPP_TPU_ESTREAM_BYTES overrides; devices without memory_stats
-        (CPU backend, some simulators) fall back to the 6 GB default."""
+        ``frac`` x the device's memory: the default 37.5% is the E-step
+        envelope (the stream shares HBM with the packed windows, operator
+        staging, and XLA transients; it reproduces the measured-safe 6 GB
+        on a 16 GB v5e and scales to 32 GB v4 parts).  The posterior
+        decode gate passes a larger fraction — see _window_decode_fits.
+        SMCPP_TPU_ESTREAM_BYTES overrides with an ABSOLUTE budget (all
+        gates compare against it directly).  Device memory comes from
+        memory_stats()['bytes_limit'] when the backend reports it; real
+        TPUs behind the remote plugin report none, so fall back to the
+        device_kind table above, then to 16 GB for an unknown
+        accelerator and 6 GB on CPU."""
         import os
 
         v = os.environ.get("SMCPP_TPU_ESTREAM_BYTES")
@@ -407,7 +420,17 @@ class _EagerQOps:
             limit = (dev.memory_stats() or {}).get("bytes_limit")
         except Exception:
             limit = None
-        return 0.375 * float(limit) if limit else 6e9
+        if not limit:
+            try:
+                if dev.platform == "cpu":
+                    return 6e9
+                kind = (dev.device_kind or "").lower()
+                limit = next(
+                    (b for pat, b in self._DEVICE_HBM if pat in kind), 16e9
+                )
+            except AttributeError:
+                return 6e9
+        return frac * float(limit)
 
     def _window_stream_bytes(self, bytes_per_state):
         "Per-device bytes of a (windows x M) stream at bytes_per_state/elem."
@@ -440,11 +463,22 @@ class _EagerQOps:
     def _window_decode_fits(self):
         """Gamma decode streams within budget: the decode runs at the tf32
         rung (f32 carries), so alpha (4 B) + gamma (4 B) + the transient
-        transposed/prefix copies of the gamma stream (~4 B concurrent)."""
-        return self._window_stream_bytes(12) <= self._hbm_budget()
+        transposed/prefix copies of the gamma stream (~4 B concurrent).
+
+        The budget fraction is 70%, not the E-step's 37.5%: the decode is
+        a standalone program whose streams ARE the footprint (no operator
+        staging or optimizer tensors coexist), its fallback costs ~300x
+        (the row-level decode measured 130 s vs 0.45 s at C3), and the
+        12 B upper-bound accounting at the flagship C3 scale (10.6 GB)
+        measured safe on a 16 GB v5e — a 37.5% gate wrongly rejected
+        exactly that configuration."""
+        return self._window_stream_bytes(12) <= self._hbm_budget(0.70)
 
     def _window_viterbi_fits(self):
-        "MAP decode: int8 backpointer stream + int32 path (L, S) ~ 2 B."
+        """MAP decode: int8 backpointer stream + int32 path (L, S) ~ 2 B.
+        Conservative fraction: the over-budget mode streams backpointers
+        per block at ~1 extra forward sweep (cheap), unlike the decode's
+        300x row-level fallback."""
         return self._window_stream_bytes(2) <= self._hbm_budget()
 
     def _decode_precision(self):

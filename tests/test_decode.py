@@ -238,14 +238,36 @@ def test_hbm_budget_sources(monkeypatch):
 
     class _IM:
         _hbm_budget = OnePopInferenceManager._hbm_budget
+        _DEVICE_HBM = OnePopInferenceManager._DEVICE_HBM
         _device = _Dev()
 
     assert _IM()._hbm_budget() == 0.375 * 16e9
+    # decode gate fraction: same device memory, larger share
+    assert _IM()._hbm_budget(0.70) == 0.70 * 16e9
     _IM._device = None  # falls through to jax.devices()[0]: forced-host CPU
     assert _IM()._hbm_budget() == 6e9
+
+    class _TunneledTPU:
+        # real TPUs behind the remote plugin: no memory stats at all
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+
+        @staticmethod
+        def memory_stats():
+            return None
+
+    _IM._device = _TunneledTPU()
+    assert _IM()._hbm_budget() == 0.375 * 16e9
+    _TunneledTPU.device_kind = "TPU v4"
+    assert _IM()._hbm_budget() == 0.375 * 32e9
+    _TunneledTPU.device_kind = "TPU vNext"  # unknown accelerator: 16 GB
+    assert _IM()._hbm_budget() == 0.375 * 16e9
+
     monkeypatch.setenv("SMCPP_TPU_ESTREAM_BYTES", "123456.0")
     _IM._device = _Dev()
     assert _IM()._hbm_budget() == 123456.0
+    # the env override is ABSOLUTE: every gate fraction sees the same value
+    assert _IM()._hbm_budget(0.70) == 123456.0
 
 
 def test_budget_gates_flip_at_boundary(monkeypatch):
