@@ -58,6 +58,17 @@ FLOOR = 1e-35
 # stands; set SMCPP_TPU_MATMUL_PRECISION to override.
 MATMUL_PRECISION = os.environ.get("SMCPP_TPU_MATMUL_PRECISION", "default")
 
+# Stat-sweep implementation: 'xla' (lax.scan, unroll-tuned — the default)
+# or 'pallas' (ops/pallas_sweeps.py: VMEM-resident carries, opt-in while
+# being qualified on hardware).  Import-time setting like the unroll knobs.
+SWEEP_IMPL = os.environ.get("SMCPP_TPU_SWEEP", "xla")
+
+
+def _ps():
+    from . import pallas_sweeps
+
+    return pallas_sweeps
+
 # Storage dtype of the (M, S, M) scan carry.  The kernel is HBM-bound (the
 # carry is read+written every window step; compute is <2% of step time), and
 # under 'default' precision the matmul already *reads* the carry rounded to
@@ -424,6 +435,26 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
     )
     cdt = _carry_dtype(precision, jnp.dtype(dt))
     u = _eff_unroll(unroll)
+
+    if (
+        SWEEP_IMPL == "pallas"
+        and e_all is None
+        and alpha_remat is None
+        and not emit_gamma
+        and use_onehot
+        and dt == jnp.float32
+    ):
+        # Pallas TPU sweeps (ops/pallas_sweeps.py): VMEM-resident carries,
+        # no per-step scan overhead.  Same recursion/normalization; xo and
+        # gsum accumulate f32 per segment tile, f64 across tiles.
+        alpha_end, u_start, xo, gsum = _ps().sweeps(
+            T, E, keysT, validT, A_in, Q_end,
+            alpha_dtype=cdt, precision=precision,
+        )
+        if axis_name is not None:
+            xo = jax.lax.psum(xo, axis_name)
+            gsum = jax.lax.psum(gsum, axis_name)
+        return alpha_end.astype(dt), u_start.astype(dt), xo, gsum
 
     def emisT(k):
         "(M, S) emission columns for one window row of keys."
