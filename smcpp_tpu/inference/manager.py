@@ -148,14 +148,19 @@ class _EagerQOps:
     the split time)."""
 
     def _eager_tensors(self, grid, a):
-        a = jnp.asarray(a, jnp.float64)
-        pi = ratefunc.initial_distribution(a, grid)
-        T = transition.transition_matrix(a, self.rho, grid)
-        bl = csfs_mod.conditioned_sfs(a, grid, self.n)
-        em = csfs_mod.incorporate_theta(bl, self.theta)
-        act = ratefunc.average_coal_times(a, grid)
-        e2 = em_mod.e2_matrix(act, self.theta, self.alpha)
-        E = em_mod.emission_matrix(self.em_idx, em, e2)
+        # Eager f64 math stays on the HOST CPU device: op-by-op dispatch
+        # of this pipeline to a remote accelerator costs a round trip per
+        # tiny op (measured ~2.3 s of a 2.5 s two-pop E-step); the caller
+        # device_puts the three small results once.
+        with jax.default_device(self._cpu):
+            a = jnp.asarray(a, jnp.float64)
+            pi = ratefunc.initial_distribution(a, grid)
+            T = transition.transition_matrix(a, self.rho, grid)
+            bl = csfs_mod.conditioned_sfs(a, grid, self.n)
+            em = csfs_mod.incorporate_theta(bl, self.theta)
+            act = ratefunc.average_coal_times(a, grid)
+            e2 = em_mod.e2_matrix(act, self.theta, self.alpha)
+            E = em_mod.emission_matrix(self.em_idx, em, e2)
         return pi, T, E
 
     def _eager_q(self, pi, T, E):
@@ -1588,27 +1593,32 @@ class TwoPopInferenceManager(_EagerQOps):
         a = np.asarray(dm.stepwise_values(), dtype=np.float64)
         s = np.asarray(dm.s, dtype=np.float64)
         grid = grid_mod.make_time_grid(s, self.hidden_states)
-        # The apart model (a1 = a2 = 1) has infinite size before the split
-        # (the distinguished lineages cannot coalesce until then).  Stand in
-        # a large FINITE size: 1e12 leaves < 1e-12 spurious coalescent mass
-        # over any O(1) interval (far below the 1e-20 pi floor's intent),
-        # while 1e300 overflows intermediate products in the closed-form
-        # expm at M > 1 (NaN transition rows on the M=32 posterior grid).
-        aj = jnp.asarray(np.where(np.isinf(a), 1e12, a))
-        pi = ratefunc.initial_distribution(aj, grid)
-        T = transition.transition_matrix(aj, self.rho, grid)
-        act = ratefunc.average_coal_times(aj, grid)
-
         m1 = _marginal_model(model, model.pids[0])
         m2 = _marginal_model(model, model.pids[1])
-        J = self._jcsfs.compute(
+        J = self._jcsfs.compute(  # pure numpy (host)
             (np.asarray(m1.stepwise_values(), dtype=np.float64), m1.s),
             (np.asarray(m2.stepwise_values(), dtype=np.float64), m2.s),
             model.split,
         )  # (M, a1+1, D)
-        em = csfs_mod.incorporate_theta(jnp.asarray(J), self.theta)
-        e2 = em_mod.e2_matrix(act, self.theta, self.alpha)
-        E = em_mod.emission_matrix(self.em_idx, em, e2)
+        # Eager jnp math pinned to the HOST CPU device — op-by-op dispatch
+        # to a remote accelerator costs a round trip per op (measured
+        # ~2.3 s of the 2.5 s two-pop E-step at M = 32; the JCSFS numpy
+        # part is 0.13 s).  E_step device_puts the three results once.
+        with jax.default_device(self._cpu):
+            # The apart model (a1 = a2 = 1) has infinite size before the
+            # split (the distinguished lineages cannot coalesce until
+            # then).  Stand in a large FINITE size: 1e12 leaves < 1e-12
+            # spurious coalescent mass over any O(1) interval (far below
+            # the 1e-20 pi floor's intent), while 1e300 overflows
+            # intermediate products in the closed-form expm at M > 1 (NaN
+            # transition rows on the M=32 posterior grid).
+            aj = jnp.asarray(np.where(np.isinf(a), 1e12, a))
+            pi = ratefunc.initial_distribution(aj, grid)
+            T = transition.transition_matrix(aj, self.rho, grid)
+            act = ratefunc.average_coal_times(aj, grid)
+            em = csfs_mod.incorporate_theta(jnp.asarray(J), self.theta)
+            e2 = em_mod.e2_matrix(act, self.theta, self.alpha)
+            E = em_mod.emission_matrix(self.em_idx, em, e2)
         return pi, T, E
 
     _estep_m1 = OnePopInferenceManager._estep_m1
