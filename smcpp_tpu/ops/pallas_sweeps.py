@@ -15,16 +15,34 @@ emission one-hot / matmuls feed the MXU directly.  Accumulators are f32
 per segment-tile (error ~1e-6 relative over 8k steps — far below the
 kernel's bf16 statistic noise) and are reduced in f64 by the caller.
 
-Layout notes (Mosaic constraints found while qualifying):
+Layout notes — the tunnel compile helper was qualified probe-by-probe and
+accepts only a narrow Mosaic subset, which dictates the whole design:
 
-* keys/valid/vnext travel as ONE bit-packed int32 stream shaped
-  (L, 1, S): key in bits 0-15, valid bit 16, next-window-valid bit 17.
-  Packing cuts the stream's HBM traffic vs three arrays, and the
-  (L, 1, S) shape puts the dynamically-indexed window axis on an UNTILED
-  leading dimension — a (l_blk, S_tile) block keyed by the window axis
-  puts it on the sublane dimension, where Mosaic requires dynamic row
-  indices to be provably tile-aligned ("cannot statically prove that
-  index in dimension 0 is a multiple of 8").
+* 2D blocks ONLY (any 3D BlockSpec crashes the remote compile helper).
+  The alpha stream is therefore laid out (L*M, Sp): window i owns the
+  M-row group starting at i*M, accessed with ``pl.ds(pl.multiple_of(
+  i*M, M), M)`` — provably tile-aligned for f32 (8) when M % 8 == 0 and
+  bf16 (16) when M % 16 == 0 (the eligibility gate enforces this).
+* EVERY block — input and output — must be visited exactly once: the
+  helper crashes on revisited blocks (even write-once under ``pl.when``)
+  and on index maps mixing grid variables (``l*n_s + s``).  Affine maps
+  of a SINGLE variable (``last - l``) are fine and give the descending
+  sweep its reversal.  Consequences:
+  - "constant" inputs (T, E, A_in, Q_end) are physically replicated to
+    (n_l*rows, n_s*128) arrays so their index map is the injective
+    (l, s); the per-step fetch is the same traffic a revisited block
+    would cost, and the replicas are tens of MB at production scale
+    (guarded by ``supported``).
+  - carry/accumulator outputs are written EVERY window block into a
+    per-(l, s) slot; the caller slices the last ``l`` block.
+* block dims must be (8, 128)-divisible (or equal to the full array
+  dim), so the key axis pads to a multiple of 128 (NK) and the (M, M)
+  xisum accumulator is padded to (M, 128) via a zero-padded operand.
+* the window axis of the packed key stream is read in aligned 8-row
+  group loads (``pl.ds(pl.multiple_of(g*8, 8), 8)``) with static row
+  extracts — single dynamic row reads are not provably aligned.
+* keys/valid/vnext travel as ONE bit-packed int32 stream shaped (L, Sp):
+  key in bits 0-15, valid bit 16, next-window-valid bit 17.
 * ``fori_loop`` bounds are pinned to i32: python-int bounds give an i64
   induction variable under x64 whose index arithmetic Mosaic rejects
   (mixed-width ``arith.subi``).
@@ -36,8 +54,9 @@ window-lockstep formulation and layouts are this repo's own
 
 Scope: the default one-pop/two-pop window configuration — one-hot emission
 rebuild (n_keys <= ONEHOT_MAX_KEYS), no emission stream, no alpha-remat,
-no gamma emission.  Everything else stays on the XLA path; selection is
-``SMCPP_TPU_SWEEP=pallas`` (see window_kernel.stats_pass).
+no gamma emission, M % 8 == 0 (16 for bf16 carries).  Everything else
+stays on the XLA path; selection is ``SMCPP_TPU_SWEEP=pallas`` (see
+window_kernel.stats_pass).
 """
 
 from functools import partial
@@ -49,23 +68,65 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Lane-dimension tile of the segment axis.  128 is the hardware lane
-# width; 512 keeps the per-step (M, S_tile) ops wide enough to amortize
-# loop overhead while the working set (packed-stream/alpha blocks +
-# carries) stays a few MB of VMEM.
-S_TILE = 512
-# Window-axis block: alphas move HBM<->VMEM in (L_BLK, M, S_TILE) slabs.
-L_BLK = 128
+import os
+
+# Lane-dimension tile of the segment axis.  The alpha recursion is
+# SERIAL along windows but independent across segments, and the grid
+# runs segment tiles sequentially — so the serial-step count is
+# n_s * L and the widest tile that fits VMEM wins (measured: 512-wide
+# tiles ran 10x more serial steps than the XLA scan and lost to it;
+# covering the full segment axis beats it).  The tile is chosen per
+# call: wide enough to cover S up to _S_TILE_MAX, padded to 512.
+_S_TILE_MAX = int(os.environ.get("SMCPP_TPU_PALLAS_ST", 8192))
+# VMEM budget for the (l_blk*M, s_tile) alpha slab (double-buffered by
+# the pipeline, and alive in both sweeps): the window block shrinks as
+# the segment tile widens.
+_ALPHA_SLAB = 2 << 20
+# Replicating the constant operands per (l, s) grid step (see layout
+# notes) costs n_l * n_s * (NK + 3M + 2M') * 128 floats of HBM; beyond
+# this many bytes fall back to the XLA sweeps rather than burn HBM.
+_REPL_BUDGET = int(3e8)
 
 _KEY_MASK = np.int32((1 << 16) - 1)
 _V_BIT = np.int32(1 << 16)
 _VN_BIT = np.int32(1 << 17)
 
 
-def _pad_s(x, s_tile, axis, fill=0):
-    "Pad ``axis`` (the segment axis) to a multiple of s_tile."
-    S = x.shape[axis]
-    pad = (-S) % s_tile
+def _shapes(S, L, M, n_keys):
+    "Per-call tiling: (Sp, Lp, s_tile, l_blk, NK)."
+    Sp512 = -(-S // 512) * 512
+    st = min(Sp512, _S_TILE_MAX)
+    Sp = -(-S // st) * st
+    lb = min(128, max(8, (_ALPHA_SLAB // (M * st * 2)) // 8 * 8))
+    Lp = -(-L // lb) * lb
+    NK = -(-n_keys // 128) * 128
+    return Sp, Lp, st, lb, NK
+
+
+def _repl_bytes(S, L, M, n_keys):
+    Sp, Lp, st, lb, NK = _shapes(S, L, M, n_keys)
+    n_s, n_l = Sp // st, Lp // lb
+    # asc: Tt, E, A_in; dsc: T, E, Q_end; outs: xo, gsum, aend, ustart
+    per_step = (2 * NK + 4 * M) * 128 + 2 * M * st  # floats
+    out = n_l * M * (2 * Sp + n_s * (128 + NK))
+    return 4 * (n_s * n_l * per_step + out)
+
+
+def supported(S, L, M, n_keys, carry_dtype):
+    """Static-shape eligibility for these kernels (consulted by
+    stats_pass in addition to its own configuration gate)."""
+    align = 16 if jnp.dtype(carry_dtype) == jnp.bfloat16 else 8
+    if M % align:
+        return False
+    if n_keys > int(_KEY_MASK):
+        return False
+    return _repl_bytes(S, L, M, n_keys) <= _REPL_BUDGET
+
+
+def _pad_axis(x, mult, axis, fill=0):
+    "Pad ``axis`` to a multiple of ``mult``."
+    n = x.shape[axis]
+    pad = (-n) % mult
     if not pad:
         return x
     widths = [(0, 0)] * x.ndim
@@ -86,17 +147,33 @@ def _dot(a, b, dims, bf16):
 
 
 def _decode(row, n_keys):
-    "Unpack one (S_TILE,) int32 stream row -> (one-hot, valid, vnext)."
+    "Unpack one (s_tile,) int32 stream row -> (one-hot, valid, vnext)."
     k = row & _KEY_MASK
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (n_keys, S_TILE), 0)
+    kiota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_keys, row.shape[0]), 0
+    )
     oh = (kiota == k[None, :])
     v = (row & _V_BIT) != 0
     vn = (row & _VN_BIT) != 0
     return oh, v, vn
 
 
+def _rep(x, n_l, n_s, lanes=None):
+    """Replicate a (r, c) constant to (n_l*r, n_s*cp) for an injective
+    (l, s) index map, padding the column axis to ``lanes`` (or S_TILE
+    columns are passed through when ``lanes`` is None and the column
+    axis is already the padded segment axis — then only the row
+    replication applies)."""
+    if lanes is not None:
+        x = _pad_axis(x, lanes, 1)
+        x = jnp.tile(x, (n_l, n_s))
+    else:
+        x = jnp.tile(x, (n_l, 1))
+    return x
+
+
 def _asc_kernel(enc_ref, tT_ref, e_ref, a_in_ref,
-                alphas_ref, alpha_end_ref, carry, *, n_l, tiny, bf16):
+                alphas_ref, aend_ref, carry, *, M, tiny, bf16):
     """Ascending alpha sweep for one (s_tile, l_blk) grid step.
 
     Grid is (S_tiles, n_l) with the window axis innermost: for a fixed
@@ -105,89 +182,108 @@ def _asc_kernel(enc_ref, tT_ref, e_ref, a_in_ref,
 
     @pl.when(l == 0)
     def _():
-        carry[:] = a_in_ref[:]  # (M, S_TILE) f32
+        carry[:] = a_in_ref[:]  # (M, s_tile) f32
 
-    E = e_ref[:]          # (n_keys, M)
-    Tt = tT_ref[:]        # (M, M) = T.T
-    n_keys = E.shape[0]
+    E = e_ref[:, :M]            # (NK, M)
+    Tt = tT_ref[:, :M]          # (M, M) = T.T
+    NK = E.shape[0]
+    l_blk = enc_ref.shape[0]
 
-    def body(i, aT):
-        oh, v, _ = _decode(enc_ref[i, 0, :], n_keys)
-        eT = _dot(E, oh.astype(E.dtype), ((0,), (0,)), bf16)  # (M, S_TILE)
-        anew = eT * _dot(Tt, aT, ((1,), (0,)), bf16)
-        anew = anew / jnp.maximum(
-            jnp.max(anew, axis=0, keepdims=True), tiny
-        )
-        aT = jnp.where(v[None, :], anew, aT)
-        alphas_ref[i, :, :] = aT.astype(alphas_ref.dtype)
+    def group(g, aT):
+        base = pl.multiple_of(g * 8, 8)
+        grp = enc_ref[pl.ds(base, 8), :]  # (8, s_tile) int32
+        for j in range(8):
+            i = g * 8 + j
+            oh, v, _ = _decode(grp[j, :], NK)
+            eT = _dot(E, oh.astype(E.dtype), ((0,), (0,)), bf16)
+            anew = eT * _dot(Tt, aT, ((1,), (0,)), bf16)
+            anew = anew / jnp.maximum(
+                jnp.max(anew, axis=0, keepdims=True), tiny
+            )
+            aT = jnp.where(v[None, :], anew, aT)
+            alphas_ref[pl.ds(pl.multiple_of(i * M, M), M), :] = (
+                aT.astype(alphas_ref.dtype))
         return aT
 
-    carry[:] = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(enc_ref.shape[0]), body, carry[:]
+    aT = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(l_blk // 8), group, carry[:]
     )
-
-    @pl.when(l == n_l - 1)
-    def _():
-        alpha_end_ref[:] = carry[:]
+    carry[:] = aT
+    aend_ref[:] = aT
 
 
-def _dsc_kernel(enc_ref, alphas_ref, t_ref, tT_ref,
-                e_ref, q_end_ref, u_start_ref, xo_ref, gsum_ref,
-                q_carry, u_carry, xo_acc, gsum_acc, *, n_l, tiny, bf16):
+def _dsc_kernel(enc_ref, alphas_ref, t_ref, e_ref, q_end_ref,
+                u_ref, xo_ref, gsum_ref,
+                q_carry, u_carry, xo_acc, gsum_acc, *, M, tiny, bf16):
     """Descending beta sweep for one (s_tile, l_blk) grid step (the window
-    axis runs REVERSED via the index maps; within the block the loop also
-    walks backwards)."""
+    axis runs REVERSED via ``last - l`` index maps; within the block the
+    loop also walks backwards)."""
     l = pl.program_id(1)
 
     @pl.when(l == 0)
     def _():
-        q_carry[:] = q_end_ref[:]          # (M, S_TILE)
+        q_carry[:] = q_end_ref[:]          # (M, s_tile)
         u_carry[:] = jnp.zeros_like(u_carry)
         xo_acc[:] = jnp.zeros_like(xo_acc)
         gsum_acc[:] = jnp.zeros_like(gsum_acc)
 
-    E = e_ref[:]
-    T = t_ref[:]
-    Tt = tT_ref[:]
-    n_keys = E.shape[0]
-    L_blk = enc_ref.shape[0]
+    E = e_ref[:, :M]            # (NK, M)
+    T = t_ref[:, :M]
+    NK = E.shape[0]
+    l_blk = enc_ref.shape[0]
+    n_g = l_blk // 8
+    st = enc_ref.shape[1]
+    # zero tail rows pad the xisum operand so the (M, M) dot lands in a
+    # clean (M, 128) full-block write
+    upad = jnp.zeros((128 - M, st), jnp.float32)
 
-    def body(j, carry):
+    def group(gg, carry):
         qT, uT, xo, gsum = carry
-        i = jnp.asarray(L_blk - 1, j.dtype) - j
-        oh, v, vn = _decode(enc_ref[i, 0, :], n_keys)
-        ohf = oh.astype(E.dtype)
-        aT = alphas_ref[i, :, :].astype(E.dtype)
-        eT = _dot(E, ohf, ((0,), (0,)), bf16)
-        tv = _dot(T, uT, ((1,), (0,)), bf16)
-        qun = jnp.where(vn[None, :], tv, qT)
-        Z = jnp.maximum(jnp.sum(aT * qun, axis=0), tiny)  # (S_TILE,)
-        gamma = (aT * qun / Z[None, :]) * v[None, :]
-        ascale = (aT / Z[None, :]) * (v & vn)[None, :]
-        # per-key masses keep exact-f32 operands like the XLA sweep (a
-        # bf16 gamma operand costs ~4e-5 total-mass drift; the one-hot is
-        # 0/1-exact either way); full-S contraction feeds the MXU well.
-        g_k = _dot(gamma, ohf, ((1,), (1,)), False)  # (M, n_keys)
-        xi_c = _dot(ascale, uT, ((1,), (1,)), bf16)  # (M, M)
-        qn = qun / jnp.maximum(jnp.max(qun, axis=0, keepdims=True), tiny)
-        qT = jnp.where(v[None, :], qn, qT)
-        uT = jnp.where(v[None, :], eT * qT, uT)
-        return qT, uT, xo + xi_c, gsum + g_k
+        g = jnp.asarray(n_g - 1, gg.dtype) - gg
+        base = pl.multiple_of(g * 8, 8)
+        grp = enc_ref[pl.ds(base, 8), :]
+        for j in range(7, -1, -1):
+            i = g * 8 + j
+            oh, v, vn = _decode(grp[j, :], NK)
+            ohf = oh.astype(E.dtype)
+            aT = alphas_ref[
+                pl.ds(pl.multiple_of(i * M, M), M), :
+            ].astype(E.dtype)
+            eT = _dot(E, ohf, ((0,), (0,)), bf16)
+            tv = _dot(T, uT, ((1,), (0,)), bf16)
+            qun = jnp.where(vn[None, :], tv, qT)
+            Z = jnp.maximum(jnp.sum(aT * qun, axis=0), tiny)  # (S_TILE,)
+            gamma = (aT * qun / Z[None, :]) * v[None, :]
+            ascale = (aT / Z[None, :]) * (v & vn)[None, :]
+            # per-key masses keep exact-f32 operands like the XLA sweep
+            # (a bf16 gamma operand costs ~4e-5 total-mass drift; the
+            # one-hot is 0/1-exact either way)
+            g_k = _dot(gamma, ohf, ((1,), (1,)), False)   # (M, NK)
+            u128 = jnp.concatenate([uT, upad], axis=0)    # (128, st)
+            xi_c = _dot(ascale, u128, ((1,), (1,)), bf16)  # (M, 128)
+            qn = qun / jnp.maximum(
+                jnp.max(qun, axis=0, keepdims=True), tiny
+            )
+            qT = jnp.where(v[None, :], qn, qT)
+            uT = jnp.where(v[None, :], eT * qT, uT)
+            xo = xo + xi_c
+            gsum = gsum + g_k
+        return qT, uT, xo, gsum
 
     qT, uT, xo, gsum = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(L_blk), body,
+        jnp.int32(0), jnp.int32(n_g), group,
         (q_carry[:], u_carry[:], xo_acc[:], gsum_acc[:]),
     )
     q_carry[:] = qT
     u_carry[:] = uT
     xo_acc[:] = xo
     gsum_acc[:] = gsum
-
-    @pl.when(l == n_l - 1)
-    def _():
-        u_start_ref[:] = uT
-        xo_ref[0] = xo
-        gsum_ref[0] = gsum
+    # running carries land in this (l, s) slot; the caller reads the
+    # last window block's slot (the only injective-map way to get
+    # VMEM state out of this helper — see layout notes)
+    u_ref[:] = uT
+    xo_ref[:] = xo
+    gsum_ref[:] = gsum
 
 
 def sweeps(T, E, keysT, validT, A_in, Q_end, alpha_dtype=jnp.bfloat16,
@@ -207,101 +303,107 @@ def sweeps(T, E, keysT, validT, A_in, Q_end, alpha_dtype=jnp.bfloat16,
     L, S = keysT.shape
     M = T.shape[0]
     n_keys = E.shape[0]
-    assert n_keys <= int(_KEY_MASK), n_keys
-    l_blk = next(b for b in (L_BLK, 64, 32, 16, 8, 4, 2, 1) if L % b == 0)
+    Sp, Lp, st, lb, NK = _shapes(S, L, M, n_keys)
+    n_s, n_l = Sp // st, Lp // lb
     tiny = float(np.finfo(np.float32).tiny)
 
-    keysT = _pad_s(jnp.asarray(keysT, jnp.int32), S_TILE, 1)
-    valid_i = _pad_s(jnp.asarray(validT).astype(jnp.int32), S_TILE, 1)
-    A_inT = _pad_s(jnp.asarray(A_in, jnp.float32).T, S_TILE, 1)
-    Q_endT = _pad_s(jnp.asarray(Q_end, jnp.float32).T, S_TILE, 1)
-    Sp = keysT.shape[1]
-    n_s = Sp // S_TILE
-    n_l = L // l_blk
+    # pad the segment axis to the lane tile and the window axis to the
+    # block size; padded windows carry valid=0 so every recursion and
+    # statistic passes through them unchanged (vnext is computed from
+    # the PADDED valid so the last real window keeps vnext=0)
+    keysT = _pad_axis(_pad_axis(jnp.asarray(keysT, jnp.int32), st, 1),
+                      lb, 0)
+    valid_i = _pad_axis(
+        _pad_axis(jnp.asarray(validT).astype(jnp.int32), st, 1), lb, 0
+    )
+    A_inT = _pad_axis(jnp.asarray(A_in, jnp.float32).T, st, 1)
+    Q_endT = _pad_axis(jnp.asarray(Q_end, jnp.float32).T, st, 1)
 
     Tf = jnp.asarray(T, jnp.float32)
-    Ef = jnp.asarray(E, jnp.float32)
+    Ef = _pad_axis(jnp.asarray(E, jnp.float32), 128, 0)  # (NK, M)
 
     vnext_i = jnp.concatenate(
         [valid_i[1:], jnp.zeros((1, Sp), jnp.int32)], axis=0
     )
-    enc = (
-        keysT | (valid_i << jnp.int32(16)) | (vnext_i << jnp.int32(17))
-    ).reshape(L, 1, Sp)
+    enc = keysT | (valid_i << jnp.int32(16)) | (vnext_i << jnp.int32(17))
 
-    enc_spec = pl.BlockSpec((l_blk, 1, S_TILE), lambda s, l: (l, 0, s),
+    # constant operands replicated per (l, s) grid step; carry inits
+    # replicated per l (their column axis already spans the segments)
+    T_r = _rep(Tf, n_l, n_s, lanes=128)        # (n_l*M, n_s*128)
+    Tt_r = _rep(Tf.T, n_l, n_s, lanes=128)
+    E_r = _rep(Ef, n_l, n_s, lanes=128)        # (n_l*NK, n_s*128)
+    A_r = _rep(A_inT, n_l, n_s)                # (n_l*M, Sp)
+    Q_r = _rep(Q_endT, n_l, n_s)
+
+    enc_spec = pl.BlockSpec((lb, st), lambda s, l: (l, s),
                             memory_space=pltpu.VMEM)
-    mat_spec = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda s, l: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    carry_spec = pl.BlockSpec((M, S_TILE), lambda s, l: (0, s),
+    alphas_spec = pl.BlockSpec((lb * M, st), lambda s, l: (l, s),
+                               memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec((M, st), lambda s, l: (l, s),
                               memory_space=pltpu.VMEM)
+    mm_spec = pl.BlockSpec((M, 128), lambda s, l: (l, s),
+                           memory_space=pltpu.VMEM)
+    ek_spec = pl.BlockSpec((NK, 128), lambda s, l: (l, s),
+                           memory_space=pltpu.VMEM)
 
-    alphas, alpha_endT = pl.pallas_call(
-        partial(_asc_kernel, n_l=n_l, tiny=tiny, bf16=bf16),
+    alphas, aend = pl.pallas_call(
+        partial(_asc_kernel, M=M, tiny=tiny, bf16=bf16),
         grid=(n_s, n_l),
-        in_specs=[
-            enc_spec,                    # packed key/valid/vnext stream
-            mat_spec((M, M)),            # T.T
-            mat_spec((n_keys, M)),       # E
-            carry_spec,                  # A_inT
-        ],
-        out_specs=(
-            pl.BlockSpec((l_blk, M, S_TILE), lambda s, l: (l, 0, s),
-                         memory_space=pltpu.VMEM),
-            carry_spec,
-        ),
+        in_specs=[enc_spec, mm_spec, ek_spec, carry_spec],
+        out_specs=(alphas_spec, carry_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((L, M, Sp), alpha_dtype),
-            jax.ShapeDtypeStruct((M, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((Lp * M, Sp), alpha_dtype),
+            jax.ShapeDtypeStruct((n_l * M, Sp), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((M, S_TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((M, st), jnp.float32)],
         interpret=interpret,
-    )(enc, Tf.T, Ef, A_inT)
+    )(enc, Tt_r, E_r, A_r)
 
     # reversed window-block iteration; keep the constant in the grid
     # index's i32 dtype (a python int lowers to i64 under x64 and Mosaic
     # rejects the mixed subtraction)
     _last = np.int32(n_l - 1)
-    u_startT, xo_t, gsum_t = pl.pallas_call(
-        partial(_dsc_kernel, n_l=n_l, tiny=tiny, bf16=bf16),
+    rev_enc_spec = pl.BlockSpec((lb, st), lambda s, l: (_last - l, s),
+                                memory_space=pltpu.VMEM)
+    rev_alphas_spec = pl.BlockSpec(
+        (lb * M, st), lambda s, l: (_last - l, s),
+        memory_space=pltpu.VMEM,
+    )
+    u_out, xo_t, gsum_t = pl.pallas_call(
+        partial(_dsc_kernel, M=M, tiny=tiny, bf16=bf16),
         grid=(n_s, n_l),
-        in_specs=[
-            pl.BlockSpec((l_blk, 1, S_TILE), lambda s, l: (_last - l, 0, s),
-                         memory_space=pltpu.VMEM),  # stream (reversed)
-            pl.BlockSpec((l_blk, M, S_TILE), lambda s, l: (_last - l, 0, s),
-                         memory_space=pltpu.VMEM),  # alphas (reversed)
-            mat_spec((M, M)),            # T
-            mat_spec((M, M)),            # T.T
-            mat_spec((n_keys, M)),       # E
-            carry_spec,                  # Q_endT
-        ],
+        in_specs=[rev_enc_spec, rev_alphas_spec,
+                  mm_spec, ek_spec, carry_spec],
         out_specs=(
-            carry_spec,                                       # u_start
-            pl.BlockSpec((1, M, M), lambda s, l: (s, 0, 0),
-                         memory_space=pltpu.VMEM),            # xo tiles
-            pl.BlockSpec((1, M, n_keys), lambda s, l: (s, 0, 0),
-                         memory_space=pltpu.VMEM),            # gsum tiles
+            carry_spec,                                   # u snapshots
+            pl.BlockSpec((M, 128), lambda s, l: (l, s),
+                         memory_space=pltpu.VMEM),        # xo snapshots
+            pl.BlockSpec((M, NK), lambda s, l: (l, s),
+                         memory_space=pltpu.VMEM),        # gsum snapshots
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((M, Sp), jnp.float32),
-            jax.ShapeDtypeStruct((n_s, M, M), jnp.float32),
-            jax.ShapeDtypeStruct((n_s, M, n_keys), jnp.float32),
+            jax.ShapeDtypeStruct((n_l * M, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((n_l * M, n_s * 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_l * M, n_s * NK), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((M, S_TILE), jnp.float32),
-            pltpu.VMEM((M, S_TILE), jnp.float32),
-            pltpu.VMEM((M, M), jnp.float32),
-            pltpu.VMEM((M, n_keys), jnp.float32),
+            pltpu.VMEM((M, st), jnp.float32),
+            pltpu.VMEM((M, st), jnp.float32),
+            pltpu.VMEM((M, 128), jnp.float32),
+            pltpu.VMEM((M, NK), jnp.float32),
         ],
         interpret=interpret,
-    )(enc, alphas, Tf, Tf.T, Ef, Q_endT)
+    )(enc, alphas, _rep(Tf, n_l, n_s, lanes=128), E_r, Q_r)
 
-    xo = jnp.sum(xo_t.astype(jnp.float64), axis=0)
-    gsum = jnp.sum(gsum_t.astype(jnp.float64), axis=0).T  # (n_keys, M)
-    return (
-        alpha_endT[:, :S].T,
-        u_startT[:, :S].T,
-        xo,
-        gsum,
+    last = (n_l - 1) * M
+    alpha_end = aend[last:last + M, :S].T            # (S, M)
+    u_start = u_out[last:last + M, :S].T
+    xo = jnp.sum(
+        xo_t[last:last + M].reshape(M, n_s, 128)[:, :, :M]
+        .astype(jnp.float64), axis=1,
     )
+    gsum = jnp.sum(
+        gsum_t[last:last + M].reshape(M, n_s, NK).astype(jnp.float64),
+        axis=1,
+    ).T[:n_keys]                                     # (n_keys, M)
+    return alpha_end, u_start, xo, gsum

@@ -59,8 +59,9 @@ FLOOR = 1e-35
 MATMUL_PRECISION = os.environ.get("SMCPP_TPU_MATMUL_PRECISION", "default")
 
 # Stat-sweep implementation: 'xla' (lax.scan, unroll-tuned — the default)
-# or 'pallas' (ops/pallas_sweeps.py: VMEM-resident carries, opt-in while
-# being qualified on hardware).  Import-time setting like the unroll knobs.
+# or 'pallas' (ops/pallas_sweeps.py: VMEM-resident carries; measured at
+# parity-to-+2.5% vs the tuned XLA scan on chip, kept opt-in).
+# Import-time setting like the unroll knobs.
 SWEEP_IMPL = os.environ.get("SMCPP_TPU_SWEEP", "xla")
 
 
@@ -68,6 +69,14 @@ def _ps():
     from . import pallas_sweeps
 
     return pallas_sweeps
+
+
+def _pallas_ok():
+    "Mosaic kernels only lower for the TPU backend (tests monkeypatch)."
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 # Storage dtype of the (M, S, M) scan carry.  The kernel is HBM-bound (the
 # carry is read+written every window step; compute is <2% of step time), and
@@ -443,6 +452,8 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
         and not emit_gamma
         and use_onehot
         and dt == jnp.float32
+        and _pallas_ok()
+        and _ps().supported(S, L, Mdim, n_keys, cdt)
     ):
         # Pallas TPU sweeps (ops/pallas_sweeps.py): VMEM-resident carries,
         # no per-step scan overhead.  Same recursion/normalization; xo and

@@ -58,6 +58,32 @@ def test_pallas_sweeps_match_xla_exact(S, L):
     np.testing.assert_allclose(gs_g, gs_r, rtol=1e-5, atol=1e-8)
 
 
+def test_pallas_sweeps_multi_segment_tile(monkeypatch):
+    """n_s > 1 (the segment axis split across grid tiles) exercises the
+    per-(l, s) snapshot outputs and the caller's cross-tile reductions;
+    M=32 exercises the wider-state tiling (l_blk shrinks to keep the
+    alpha slab in budget)."""
+    monkeypatch.setattr(ps, "_S_TILE_MAX", 512)
+    T, E, keys, valid, A_in, Q_end = _problem(3, 600, 64, M=32)
+    assert ps._shapes(600, 64, 32, 89)[0] // ps._shapes(600, 64, 32, 89)[2] == 2
+    ref = wk.stats_pass(
+        jnp.asarray(T), jnp.asarray(E), jnp.asarray(keys),
+        jnp.asarray(valid), jnp.asarray(A_in), jnp.asarray(Q_end),
+        None, precision="highest",
+    )
+    got = ps.sweeps(
+        jnp.asarray(T), jnp.asarray(E), jnp.asarray(keys.T),
+        jnp.asarray(valid.T), jnp.asarray(A_in), jnp.asarray(Q_end),
+        alpha_dtype=jnp.float32, precision="highest", interpret=True,
+    )
+    a_r, u_r, xo_r, gs_r = [np.asarray(x, np.float64) for x in ref]
+    a_g, u_g, xo_g, gs_g = [np.asarray(x, np.float64) for x in got]
+    np.testing.assert_array_equal(a_g, a_r)
+    np.testing.assert_allclose(u_g, u_r, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(xo_g, xo_r, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(gs_g, gs_r, rtol=1e-5, atol=1e-8)
+
+
 def test_pallas_sweeps_default_precision_envelope():
     """'default' (bf16 matmul operands, bf16 alpha storage — the
     production rung): stats agree with the exact-f32 XLA sweeps to
@@ -97,6 +123,7 @@ def test_stats_pass_pallas_gate(monkeypatch):
 
     monkeypatch.setattr(ps, "sweeps", spy)
     monkeypatch.setattr(wk, "SWEEP_IMPL", "pallas")
+    monkeypatch.setattr(wk, "_pallas_ok", lambda: True)
     T, E, keys, valid, A_in, Q_end = _problem(2, 8, 128)
     args = (jnp.asarray(T), jnp.asarray(E), jnp.asarray(keys),
             jnp.asarray(valid), jnp.asarray(A_in), jnp.asarray(Q_end))
