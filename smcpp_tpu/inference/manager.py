@@ -1592,7 +1592,6 @@ class TwoPopInferenceManager(_EagerQOps):
         dm = _marginal_model(model, dist_pid)
         a = np.asarray(dm.stepwise_values(), dtype=np.float64)
         s = np.asarray(dm.s, dtype=np.float64)
-        grid = grid_mod.make_time_grid(s, self.hidden_states)
         m1 = _marginal_model(model, model.pids[0])
         m2 = _marginal_model(model, model.pids[1])
         J = self._jcsfs.compute(  # pure numpy (host)
@@ -1600,26 +1599,42 @@ class TwoPopInferenceManager(_EagerQOps):
             (np.asarray(m2.stepwise_values(), dtype=np.float64), m2.s),
             model.split,
         )  # (M, a1+1, D)
-        # Eager jnp math pinned to the HOST CPU device — op-by-op dispatch
-        # to a remote accelerator costs a round trip per op (measured
-        # ~2.3 s of the 2.5 s two-pop E-step at M = 32; the JCSFS numpy
-        # part is 0.13 s).  E_step device_puts the three results once.
-        with jax.default_device(self._cpu):
-            # The apart model (a1 = a2 = 1) has infinite size before the
-            # split (the distinguished lineages cannot coalesce until
-            # then).  Stand in a large FINITE size: 1e12 leaves < 1e-12
-            # spurious coalescent mass over any O(1) interval (far below
-            # the 1e-20 pi floor's intent), while 1e300 overflows
-            # intermediate products in the closed-form expm at M > 1 (NaN
-            # transition rows on the M=32 posterior grid).
-            aj = jnp.asarray(np.where(np.isinf(a), 1e12, a))
-            pi = ratefunc.initial_distribution(aj, grid)
-            T = transition.transition_matrix(aj, self.rho, grid)
-            act = ratefunc.average_coal_times(aj, grid)
-            em = csfs_mod.incorporate_theta(jnp.asarray(J), self.theta)
-            e2 = em_mod.e2_matrix(act, self.theta, self.alpha)
-            E = em_mod.emission_matrix(self.em_idx, em, e2)
-        return pi, T, E
+        # The post-JCSFS tensor math runs as ONE jitted CPU program,
+        # cached per grid fingerprint: eagerly it is ~0.12 s of
+        # op-by-op dispatch per E-step (and was ~2.3 s when those ops
+        # round-tripped to the tunneled accelerator); jitted it is
+        # ~1 ms.  The grid is static per (model structure, hidden
+        # states) so EM iterations reuse one trace; rho stays a traced
+        # argument so the M-step's rho search cannot retrace.
+        # The apart model (a1 = a2 = 1) has infinite size before the
+        # split (the distinguished lineages cannot coalesce until
+        # then).  Stand in a large FINITE size: 1e12 leaves < 1e-12
+        # spurious coalescent mass over any O(1) interval (far below
+        # the 1e-20 pi floor's intent), while 1e300 overflows
+        # intermediate products in the closed-form expm at M > 1 (NaN
+        # transition rows on the M=32 posterior grid).
+        a_fin = np.where(np.isinf(a), 1e12, a)
+        cache = getattr(self, "_tensors_cache", None)
+        if cache is None:
+            cache = self._tensors_cache = {}
+        key = (s.tobytes(), self.hidden_states.tobytes(), self.theta,
+               self.alpha, J.shape, a_fin.shape)
+        fn = cache.get(key)
+        if fn is None:
+            grid = grid_mod.make_time_grid(s, self.hidden_states)
+            theta, alpha, em_idx = self.theta, self.alpha, self.em_idx
+
+            def pipeline(aj, Jv, rho):
+                pi = ratefunc.initial_distribution(aj, grid)
+                T = transition.transition_matrix(aj, rho, grid)
+                act = ratefunc.average_coal_times(aj, grid)
+                em = csfs_mod.incorporate_theta(Jv, theta)
+                e2 = em_mod.e2_matrix(act, theta, alpha)
+                E = em_mod.emission_matrix(em_idx, em, e2)
+                return pi, T, E
+
+            fn = cache[key] = jax.jit(pipeline, device=self._cpu)
+        return fn(a_fin, J, float(self.rho))
 
     _estep_m1 = OnePopInferenceManager._estep_m1
     # identical E-step control flow (window/direct kernel on the mesh when
