@@ -1585,20 +1585,23 @@ class TwoPopInferenceManager(_EagerQOps):
 
     # ------------------------------------------------------------------
     def tensors(self):
-        import jax.numpy as jnp
-
         model = self.model
         dist_pid = None if self.a1 == 1 else model.pids[0]
-        dm = _marginal_model(model, dist_pid)
-        a = np.asarray(dm.stepwise_values(), dtype=np.float64)
-        s = np.asarray(dm.s, dtype=np.float64)
-        m1 = _marginal_model(model, model.pids[0])
-        m2 = _marginal_model(model, model.pids[1])
-        J = self._jcsfs.compute(  # pure numpy (host)
-            (np.asarray(m1.stepwise_values(), dtype=np.float64), m1.s),
-            (np.asarray(m2.stepwise_values(), dtype=np.float64), m2.s),
-            model.split,
-        )  # (M, a1+1, D)
+        # the marginal-model surgery / spline evals / JCSFS are host
+        # work, but sprinkle tiny jnp ops — pinned to the CPU device
+        # they are ~110 ms total; left on the tunneled accelerator the
+        # per-op round trips cost ~0.47 s per E-step (measured)
+        with jax.default_device(self._cpu):
+            dm = _marginal_model(model, dist_pid)
+            a = np.asarray(dm.stepwise_values(), dtype=np.float64)
+            s = np.asarray(dm.s, dtype=np.float64)
+            m1 = _marginal_model(model, model.pids[0])
+            m2 = _marginal_model(model, model.pids[1])
+            J = self._jcsfs.compute(  # pure numpy (host)
+                (np.asarray(m1.stepwise_values(), dtype=np.float64), m1.s),
+                (np.asarray(m2.stepwise_values(), dtype=np.float64), m2.s),
+                model.split,
+            )  # (M, a1+1, D)
         # The post-JCSFS tensor math runs as ONE jitted CPU program,
         # cached per grid fingerprint: eagerly it is ~0.12 s of
         # op-by-op dispatch per E-step (and was ~2.3 s when those ops
