@@ -121,6 +121,7 @@ def main():
         "vs_baseline": round(gbps / REFERENCE_ESTEP_GBP_PER_SEC, 2),
     }
     out.update(real_pipeline_metrics())
+    out.update(twopop_metrics())
     print(json.dumps(out))
 
 
@@ -152,6 +153,35 @@ def real_pipeline_metrics():
             "decode_kernel_s", "decode_kernel_gbps", "viterbi_s",
             "em_iteration_s", "kernel")
     return {k: m[k] for k in keep if k in m}
+
+
+def twopop_metrics():
+    """Two-pop E-step at production scale (M=32, 1 Gbp synthetic joint
+    data through TwoPopInferenceManager) — driver-captured so the round-4
+    two-pop setup-path work (2.48 s -> 0.24 s) is verifiable, not
+    builder-reported.  ~2 min including synth + warmup; skipped under
+    SMCPP_TPU_BENCH_FAST=1."""
+    import os
+    import sys
+    import traceback
+
+    if os.environ.get("SMCPP_TPU_BENCH_FAST") == "1":
+        return {"twopop": "skipped (SMCPP_TPU_BENCH_FAST=1)"}
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    try:
+        import twopop_decode as td
+
+        im, windows, _ = td.build_manager(with_probe=False)
+        estep_s, warm_s, ll = td.measure_estep(im)
+        assert np.isfinite(ll)
+        return {
+            "twopop_estep_s": round(estep_s, 3),
+            "twopop_estep_gbps": round(windows * td.W / estep_s / 1e9, 2),
+            "twopop_M": td.M,
+        }
+    except Exception:
+        traceback.print_exc()
+        return {"twopop": "error (traceback on stderr)"}
 
 
 if __name__ == "__main__":

@@ -75,24 +75,23 @@ def synth_contig(rng, n_windows):
     return np.concatenate(rows_l, axis=0)
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
+def build_manager(with_probe=True):
+    """Synth the production-shape dataset and build the manager.
+    Returns (im, windows, probe_rows) — also reused by bench.py's
+    driver-captured two-pop metric."""
     import smcpp_tpu  # noqa: F401
     from smcpp_tpu.inference import estimation
     from smcpp_tpu.inference.manager import TwoPopInferenceManager
     from smcpp_tpu.models import SMCModel, SMCTwoPopulationModel
-    from smcpp_tpu.ops import hmm
 
     rng = np.random.default_rng(0)
     data = [synth_contig(rng, WINDOWS) for _ in range(C)]
-    # small probe contig: cheap span-kernel f64 oracle target
-    probe = synth_contig(rng, 60_000)[:PROBE_ROWS]
-    data.append(probe)
+    probe = None
+    if with_probe:
+        # small probe contig: cheap span-kernel f64 oracle target
+        probe = synth_contig(rng, 60_000)[:PROBE_ROWS]
+        data.append(probe)
     windows = float(sum(d[:, 0].sum() for d in data))
-    total_bases = windows * W
 
     m1 = SMCModel(np.logspace(-2, np.log10(3.0), 8), 20000.0, "pchip",
                   pid="pop1")
@@ -115,16 +114,32 @@ def main():
          f"{im.em_idx.n_keys} keys, {len(data)} contigs, "
          f"{windows:.0f} windows, build {time.time()-t0:.0f} s")
     assert im._use_windows, "cost model must pick windows at this scale"
+    return im, windows, probe
 
+
+def measure_estep(im, reps=3):
+    "Warm + median E-step wall.  Returns (estep_s, warmup_s, loglik)."
     t0 = time.time()
     ll = im.E_step()
     t_warm = time.time() - t0
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         im.E_step()
         times.append(time.perf_counter() - t0)
-    t_e = float(np.median(times))
+    return float(np.median(times)), t_warm, float(ll)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from smcpp_tpu.ops import hmm
+
+    im, windows, probe = build_manager()
+    total_bases = windows * W
+    t_e, t_warm, ll = measure_estep(im)
 
     im.save_gamma = True
     t0 = time.perf_counter()
