@@ -146,3 +146,35 @@ def test_apart_pair_estep_finite(twopop_setup):
     below = np.asarray(hs[1:]) <= jm.split
     if below.any():
         assert g[:, below].sum() < 1e-3 * g.sum()
+
+
+def test_tensors_cache_tracks_model_and_rho(twopop_setup):
+    """The jitted tensors() pipeline is cached per grid fingerprint with
+    rho as a traced argument — changing model values, the split time, or
+    rho must flow through to fresh (pi, T, E), matching a from-scratch
+    manager with no cache history."""
+    data, jm, hs = twopop_setup
+    im = _make_im(data, jm, hs)
+    base = [np.asarray(x) for x in im.tensors()]
+
+    # rho change: same trace, different traced arg
+    im.rho = 5e-4
+    fresh = _make_im(data, jm, hs)
+    fresh.rho = 5e-4
+    for a, b in zip(im.tensors(), fresh.tensors()):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(im.tensors()[1]), base[1])
+
+    # model value + split change: new J / stepwise values through the
+    # cached program (s unchanged -> same trace is correct to reuse)
+    m1b = SMCModel([0.01, 3.0], 20000.0, "piecewise", pid="pop1")
+    m1b.y[:] = 0.3
+    m2b = SMCModel([0.01, 3.0], 20000.0, "piecewise", pid="pop2")
+    m2b.y[:] = -0.2
+    jmb = SMCTwoPopulationModel(m1b, m2b, 0.6)
+    im.set_model(jmb)
+    im.rho = 1e-4
+    fresh2 = _make_im(data, jmb, hs)
+    for a, b in zip(im.tensors(), fresh2.tensors()):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(im.tensors()[2]), base[2])
