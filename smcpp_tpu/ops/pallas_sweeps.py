@@ -73,19 +73,21 @@ import os
 # Lane-dimension tile of the segment axis.  The alpha recursion is
 # SERIAL along windows but independent across segments, and the grid
 # runs segment tiles sequentially — so the serial-step count is
-# n_s * L and the widest tile that fits VMEM wins (measured: 512-wide
-# tiles ran 10x more serial steps than the XLA scan and lost to it;
-# covering the full segment axis beats it).  The tile is chosen per
-# call: wide enough to cover S up to _S_TILE_MAX, padded to 512.
+# n_s * L and wider tiles win (measured: 512-wide tiles ran 10x more
+# serial steps than the XLA scan and lost 10%; at n_s = 2 the kernel
+# beat it by 4%).  The descending kernel's VMEM working set caps the
+# width (see _shapes); ``supported`` rejects shapes needing > 2 tiles.
 _S_TILE_MAX = int(os.environ.get("SMCPP_TPU_PALLAS_ST", 8192))
-# VMEM budget for the (l_blk*M, s_tile) alpha slab (double-buffered by
-# the pipeline, and alive in both sweeps): the window block shrinks as
-# the segment tile widens.
-_ALPHA_SLAB = 2 << 20
-# Replicating the constant operands per (l, s) grid step (see layout
-# notes) costs n_l * n_s * (NK + 3M + 2M') * 128 floats of HBM; beyond
-# this many bytes fall back to the XLA sweeps rather than burn HBM.
-_REPL_BUDGET = int(3e8)
+# Per-core VMEM budget the descending kernel's working set must fit in
+# (hardware ~16 MB; leave headroom for Mosaic's own scheduling slack —
+# a lb=24/st=5120 build measured 21.1 MB against a 12.7 MB naive model,
+# hence the generous fixed-cost terms in _shapes).
+_VMEM_TARGET = 12 << 20
+# The injective-map workaround replicates constants and snapshots per
+# window block: ~4 * n_l * M * Sp * 4 bytes of HBM (the A/Q inits and
+# the aend/u snapshot outputs dominate; ~1 GB at the C3 bench shape).
+# Beyond this budget fall back to the XLA sweeps rather than burn HBM.
+_REPL_BUDGET = int(1.6e9)
 
 _KEY_MASK = np.int32((1 << 16) - 1)
 _V_BIT = np.int32(1 << 16)
@@ -95,11 +97,27 @@ _VN_BIT = np.int32(1 << 17)
 def _shapes(S, L, M, n_keys):
     "Per-call tiling: (Sp, Lp, s_tile, l_blk, NK)."
     Sp512 = -(-S // 512) * 512
-    st = min(Sp512, _S_TILE_MAX)
-    Sp = -(-S // st) * st
-    lb = min(128, max(8, (_ALPHA_SLAB // (M * st * 2)) // 8 * 8))
-    Lp = -(-L // lb) * lb
     NK = -(-n_keys // 128) * 128
+    # (st, lb) from a VMEM model of the DESCENDING kernel (the fatter
+    # one): the double-buffered alphas (bf16) + enc blocks scale with
+    # lb; the carry/init/out blocks, the (NK, st) one-hot transient and
+    # the unrolled window body's temporaries scale with st alone — a
+    # lb=16/st=5120/M=16 build measured 19.1 MB, i.e. ~2.7 KB/column of
+    # fixed cost.  Wider tiles mean fewer serial steps, so take the
+    # widest st whose budget still leaves a pipelining-worthy lb>=16
+    # (fall through to the narrowest tile otherwise).
+    st = None
+    cand = min(Sp512, _S_TILE_MAX)
+    while True:
+        fixed = 2700 * cand + NK * cand * 2
+        per_lb = 2 * M * cand * 2 + 2 * cand * 4
+        lb = min(128, max(8, ((_VMEM_TARGET - fixed) // per_lb) // 8 * 8))
+        st = cand
+        if lb >= 16 or cand <= 512:
+            break
+        cand = max(512, cand // 2)
+    Sp = -(-S // st) * st
+    Lp = -(-L // lb) * lb
     return Sp, Lp, st, lb, NK
 
 
@@ -115,12 +133,34 @@ def _repl_bytes(S, L, M, n_keys):
 def supported(S, L, M, n_keys, carry_dtype):
     """Static-shape eligibility for these kernels (consulted by
     stats_pass in addition to its own configuration gate)."""
+    import logging
+
     align = 16 if jnp.dtype(carry_dtype) == jnp.bfloat16 else 8
     if M % align:
         return False
     if n_keys > int(_KEY_MASK):
         return False
-    return _repl_bytes(S, L, M, n_keys) <= _REPL_BUDGET
+    log = logging.getLogger(__name__)
+    Sp, _, st, _, _ = _shapes(S, L, M, n_keys)
+    if Sp // st > 2:
+        # the serial-step count is n_s * L; beyond two segment tiles the
+        # extra steps outweigh the lower per-step overhead (measured:
+        # n_s=2 +4% vs the XLA scan, n_s=4 -5%)
+        log.info(
+            "pallas sweeps unsupported at (S=%d, L=%d, M=%d, keys=%d): "
+            "%d segment tiles — XLA sweeps selected",
+            S, L, M, n_keys, Sp // st,
+        )
+        return False
+    rb = _repl_bytes(S, L, M, n_keys)
+    if rb > _REPL_BUDGET:
+        log.info(
+            "pallas sweeps unsupported at (S=%d, L=%d, M=%d, keys=%d): "
+            "replication %.2f GB > budget — XLA sweeps selected",
+            S, L, M, n_keys, rb / 1e9,
+        )
+        return False
+    return True
 
 
 def _pad_axis(x, mult, axis, fill=0):
@@ -232,10 +272,6 @@ def _dsc_kernel(enc_ref, alphas_ref, t_ref, e_ref, q_end_ref,
     NK = E.shape[0]
     l_blk = enc_ref.shape[0]
     n_g = l_blk // 8
-    st = enc_ref.shape[1]
-    # zero tail rows pad the xisum operand so the (M, M) dot lands in a
-    # clean (M, 128) full-block write
-    upad = jnp.zeros((128 - M, st), jnp.float32)
 
     def group(gg, carry):
         qT, uT, xo, gsum = carry
@@ -259,14 +295,20 @@ def _dsc_kernel(enc_ref, alphas_ref, t_ref, e_ref, q_end_ref,
             # (a bf16 gamma operand costs ~4e-5 total-mass drift; the
             # one-hot is 0/1-exact either way)
             g_k = _dot(gamma, ohf, ((1,), (1,)), False)   # (M, NK)
-            u128 = jnp.concatenate([uT, upad], axis=0)    # (128, st)
-            xi_c = _dot(ascale, u128, ((1,), (1,)), bf16)  # (M, 128)
+            xi_c = _dot(ascale, uT, ((1,), (1,)), bf16)   # (M, M)
             qn = qun / jnp.maximum(
                 jnp.max(qun, axis=0, keepdims=True), tiny
             )
             qT = jnp.where(v[None, :], qn, qT)
             uT = jnp.where(v[None, :], eT * qT, uT)
-            xo = xo + xi_c
+            # the accumulator carries (M, 128) so its snapshot lands in a
+            # clean full-block write; only [:, :M] is meaningful (pad the
+            # small dot result — .at[].add lowers to scatter-add, which
+            # Mosaic does not implement)
+            xo = xo + jnp.concatenate(
+                [xi_c, jnp.zeros((xi_c.shape[0], 128 - M), jnp.float32)],
+                axis=1,
+            )
             gsum = gsum + g_k
         return qT, uT, xo, gsum
 
@@ -327,13 +369,14 @@ def sweeps(T, E, keysT, validT, A_in, Q_end, alpha_dtype=jnp.bfloat16,
     )
     enc = keysT | (valid_i << jnp.int32(16)) | (vnext_i << jnp.int32(17))
 
-    # constant operands replicated per (l, s) grid step; carry inits
-    # replicated per l (their column axis already spans the segments)
+    # constant operands replicated per (l, s) grid step; the carry-init
+    # arrays are only READ at l == 0 so the l > 0 blocks stay zero (the
+    # injective-map rule still forces the full-size allocation)
     T_r = _rep(Tf, n_l, n_s, lanes=128)        # (n_l*M, n_s*128)
     Tt_r = _rep(Tf.T, n_l, n_s, lanes=128)
     E_r = _rep(Ef, n_l, n_s, lanes=128)        # (n_l*NK, n_s*128)
-    A_r = _rep(A_inT, n_l, n_s)                # (n_l*M, Sp)
-    Q_r = _rep(Q_endT, n_l, n_s)
+    A_r = jnp.zeros((n_l * M, Sp), jnp.float32).at[:M].set(A_inT)
+    Q_r = jnp.zeros((n_l * M, Sp), jnp.float32).at[:M].set(Q_endT)
 
     enc_spec = pl.BlockSpec((lb, st), lambda s, l: (l, s),
                             memory_space=pltpu.VMEM)

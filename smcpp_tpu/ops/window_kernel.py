@@ -59,8 +59,8 @@ FLOOR = 1e-35
 MATMUL_PRECISION = os.environ.get("SMCPP_TPU_MATMUL_PRECISION", "default")
 
 # Stat-sweep implementation: 'xla' (lax.scan, unroll-tuned — the default)
-# or 'pallas' (ops/pallas_sweeps.py: VMEM-resident carries; measured at
-# parity-to-+2.5% vs the tuned XLA scan on chip, kept opt-in).
+# or 'pallas' (ops/pallas_sweeps.py: VMEM-resident carries; measured +4%
+# vs the tuned XLA scan on chip at shapes within its gate, kept opt-in).
 # Import-time setting like the unroll knobs.
 SWEEP_IMPL = os.environ.get("SMCPP_TPU_SWEEP", "xla")
 
