@@ -59,6 +59,7 @@ def build_series(psfs):
     out = []
     for label, d in psfs:
         scale_t = 2.0 * d["N0"] * (d.get("g") or 1)
+        off = d.get("off", 0.0)
         a = np.asarray(d["a"], float)
         s = np.asarray(d["s"], float)
         if "b" in d:
@@ -66,26 +67,32 @@ def build_series(psfs):
             kind = "plot"
         else:
             x, y = _step_history(a, s)
-            kind = "step"
+            # model-JSON series default to path rendering like the
+            # reference; the -s flag (kind="step") switches
+            kind = d.get("kind", "step")
         rec = {
             "label": label,
-            "x": x * scale_t,
+            "x": x * scale_t + off,
             "y": y * d["N0"],
             "kind": kind,
             "knots_x": None,
         }
         if "knots" in d:
-            rec["knots_x"] = np.asarray(d["knots"], float) * scale_t
+            rec["knots_x"] = np.asarray(d["knots"], float) * scale_t + off
         out.append(rec)
     return out
 
 
-def plot_psfs(psfs, xlim, ylim, xlabel, knots=False, logy=False, stats={}):
+def plot_psfs(psfs, xlim, ylim, xlabel, knots=False, logy=False, stats={},
+              vlines=()):
     """Render size histories; returns (figure, csv_rows) where csv_rows[0]
     is the header and each further row is one series (the reference's CSV
-    schema)."""
+    schema).  ``vlines``: x positions (physical units) marked with dashed
+    vertical lines — the two-pop split time."""
     series = build_series(psfs)
     fig, ax = pretty_plot()
+    for vx in vlines:
+        ax.axvline(vx, color="grey", linestyle="--", linewidth=1)
     seen = set()
     for rec in series:
         kwargs = {"linewidth": 2}
@@ -121,23 +128,39 @@ def plot_psfs(psfs, xlim, ylim, xlabel, knots=False, logy=False, stats={}):
     return fig, rows
 
 
-def model_to_plot_dict(d):
-    "Convert a model.final.json dict into plotting series."
+def model_to_plot_dict(d, step=False):
+    """Convert a model.final.json dict into plotting series.
+
+    ``step``: step-rendered piecewise-constant output (the reference's
+    ``--step-function``); default is path rendering of the same stepwise
+    samples (plot.py:85-99).  For a two-pop model the second population's
+    history is truncated at the split (it equals pop1's before it) and a
+    ``vline`` marks the split time (plot.py:91-98)."""
     from .models import model_from_dict
 
+    kind = "step" if step else "plot"
     m = model_from_dict(d["model"])
     if d["model"]["class"] == "SMCTwoPopulationModel":
         out = []
         for pid in m.pids:
             mm = m.for_pop(pid)
-            out.append(
-                (pid, {
-                    "N0": mm.N0,
-                    "a": np.asarray(mm.stepwise_values()),
-                    "s": mm.s,
-                    "knots": mm.knots,
-                })
-            )
+            series = {
+                "N0": mm.N0,
+                "a": np.asarray(mm.stepwise_values()),
+                "s": np.asarray(mm.s, float),
+                "knots": mm.knots,
+                "kind": kind,
+            }
+            if pid == m.pids[-1]:
+                ends = np.cumsum(series["s"])
+                keep = ends < m.split
+                n = int(keep.sum()) + 1
+                series["a"] = series["a"][:n]
+                s = series["s"][:n]
+                s[-1] = m.split - (ends[n - 2] if n > 1 else 0.0)
+                series["s"] = s
+                series["vline"] = float(m.split)
+            out.append((pid, series))
         return out
     return [
         (d["model"].get("pid") or "model", {
@@ -145,5 +168,6 @@ def model_to_plot_dict(d):
             "a": np.asarray(m.stepwise_values()),
             "s": m.s,
             "knots": m.knots,
+            "kind": kind,
         })
     ]
