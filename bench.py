@@ -169,10 +169,15 @@ def twopop_metrics():
         return {"twopop": "skipped (SMCPP_TPU_BENCH_FAST=1)"}
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
     try:
+        import jax
+
+        # the JCSFS/tensor pipeline is validated under f64; standalone
+        # callers must not silently build the manager under f32
+        jax.config.update("jax_enable_x64", True)
         import twopop_decode as td
 
         im, windows, _ = td.build_manager(with_probe=False)
-        estep_s, warm_s, ll = td.measure_estep(im)
+        estep_s, _warm_s, ll = td.measure_estep(im)
         assert np.isfinite(ll)
         return {
             "twopop_estep_s": round(estep_s, 3),

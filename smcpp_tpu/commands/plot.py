@@ -8,6 +8,11 @@ switches to step rendering, the y axis is log-scaled unless
 builtin names ``human``/``sawtooth`` plot the preset demographies, and
 the second population of a two-pop model is truncated at the split time
 with a vertical line marking it.
+
+Intentional divergence from the reference: when both ``-t`` offsets and a
+two-pop model are given, the split vline is shifted by that model's offset
+(the reference leaves vlines unshifted, which would misplace the split
+marker relative to the offset curves).
 """
 
 import json

@@ -22,9 +22,9 @@ logger = logging.getLogger(__name__)
 
 class BaseAnalysis:
     # Host-local multi-host ingestion (parallel/hostlocal.py) is opted in
-    # per analysis class: the one-population Analysis supports it; the
-    # split workflow still runs the replicated driver (its managers have
-    # no host-local placement yet).
+    # per analysis class: the one-population Analysis and the split
+    # workflow (inference/split.py) both support it; `cv` folds stay on
+    # the replicated driver (see commands/cv.py).
     supports_hostlocal = False
 
     def __init__(self, files, args):

@@ -71,9 +71,23 @@ def _ps():
     return pallas_sweeps
 
 
-def _pallas_ok():
-    "Mosaic kernels only lower for the TPU backend (tests monkeypatch)."
+def _pallas_ok(x=None):
+    """Mosaic kernels only lower for TPU targets (tests monkeypatch).
+
+    Gate on the platform the surrounding program is actually lowered for,
+    not just the process default backend: a TPU-backed process can still
+    jit the E-step onto CPU devices (forced-host oracles, CPU meshes), and
+    attempting the Mosaic kernel there fails at compile time.  Checks, in
+    order: a concrete input's committed devices, the active
+    ``jax.default_device`` scope, then the default backend."""
     try:
+        if x is not None and not isinstance(x, jax.core.Tracer):
+            devs = getattr(x, "devices", None)
+            if callable(devs):
+                return all(d.platform == "tpu" for d in devs())
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", None) == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:
         return False
@@ -401,7 +415,7 @@ def contig_boundaries(pi, ops, logs, seg_of_contig, seg_has):
 
 def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
                axis_name=None, alpha_remat=None, emit_gamma=False,
-               unroll=None):
+               unroll=None, platform=None):
     """Lockstep alpha/beta sweeps accumulating within-segment statistics.
 
     All per-window state lives in the transposed (M, S) layout so the big
@@ -452,7 +466,7 @@ def stats_pass(T, E, keys, valid, A_in, Q_end, e_all=None, precision=None,
         and not emit_gamma
         and use_onehot
         and dt == jnp.float32
-        and _pallas_ok()
+        and (platform == "tpu" if platform is not None else _pallas_ok(T))
         and _ps().supported(S, L, Mdim, n_keys, cdt)
     ):
         # Pallas TPU sweeps (ops/pallas_sweeps.py): VMEM-resident carries,

@@ -202,7 +202,8 @@ def make_sharded_direct_estep(mesh, seg_of_contig, precision=None,
         stats_in = stats_in + (P(None, None, "data"),)
     stats_local = jax.shard_map(
         partial(wk.stats_pass, precision=precision, axis_name="data",
-                alpha_remat=alpha_remat, unroll=unroll),
+                alpha_remat=alpha_remat, unroll=unroll,
+                platform=mesh.devices.flat[0].platform),
         mesh=mesh,
         in_specs=stats_in,
         out_specs=(P("data", None), P("data", None), P(), P()),

@@ -153,8 +153,10 @@ def model_to_plot_dict(d, step=False):
             }
             if pid == m.pids[-1]:
                 ends = np.cumsum(series["s"])
-                keep = ends < m.split
-                n = int(keep.sum()) + 1
+                # for_pop(pid2) unions the split into the knot grid, so
+                # normally split <= ends[-1]; clamp n anyway so a caller
+                # passing a hand-built model can't index past the grid.
+                n = min(int((ends < m.split).sum()) + 1, len(series["s"]))
                 series["a"] = series["a"][:n]
                 s = series["s"][:n]
                 s[-1] = m.split - (ends[n - 2] if n > 1 else 0.0)

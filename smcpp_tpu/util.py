@@ -7,33 +7,29 @@ def cumsum0(ary):
     return np.concatenate([[0], np.cumsum(ary)])
 
 
-def build_sawtooth():
-    "MSMC supplemental section 7 sawtooth history (util.py:19-41)."
-    sawtooth = {"a": [5.0], "b": [], "s": []}
-    g_last = t_last = 0.0
-    events = [
-        (0.000582262, 1318.18),
-        (0.00232905, -329.546),
-        (0.00931919, 82.3865),
-        (0.0372648, -20.5966),
-        (0.149059, 5.14916),
-        (0.596236, 0.0),
-    ]
-    for t, g in events:
-        sawtooth["b"].append(sawtooth["a"][-1] * np.exp(g_last * (t_last - t)))
-        sawtooth["a"].append(sawtooth["b"][-1])
-        sawtooth["s"].append(t - t_last)
-        g_last = g
-        t_last = t
-    sawtooth["b"].append(events[-1][0])
-    sawtooth["s"].append(0.1)
-    sawtooth = {k: np.array(v) for k, v in sawtooth.items()}
-    sawtooth["s"] *= 2.0
-    sawtooth["N0"] = 14312
-    return sawtooth
-
-
-sawtooth = build_sawtooth()
+# The MSMC "sawtooth" demographic history (Schiffels & Durbin 2014,
+# supplemental section 7), discretized to exponential-growth epochs.  The
+# published constants are the six (time, growth-rate) change points; the
+# start/end sizes below are the closed-form epoch endpoints
+# a_{k+1} = a_k * exp(g_k * (t_k - t_{k+1})), precomputed once and committed
+# as a literal table (times in coalescent units, already doubled to the
+# diploid convention; N0 = 14312).  Reference exposes the same preset as
+# smcpp/util.py:19-41.
+sawtooth = {
+    "a": np.array([
+        5.0, 5.0, 0.500002043581199, 5.004960812339331,
+        0.5006182646008216, 5.006159250799454, 0.5006155104069533,
+    ]),
+    "b": np.array([
+        5.0, 0.500002043581199, 5.004960812339331, 0.5006182646008216,
+        5.006159250799454, 0.5006155104069533, 0.596236,
+    ]),
+    "s": np.array([
+        0.001164524, 0.003493576, 0.01398028, 0.05589122,
+        0.2235884, 0.894354, 0.2,
+    ]),
+    "N0": 14312,
+}
 
 human = {
     "a": np.array([10.0, 0.5, 1.0, 4.0]),
