@@ -127,6 +127,7 @@ def main():
 
     timed(a, "E_step")
     timed(a, "loglik")
+    timed(opt, "_unified_mstep", "unified_mstep")
     timed(opt, "_optimize_param", "rho_search")
     timed(opt, "_optimize_scale", "scale_search")
     timed(opt, "_prefetch_coarse", "coarse_prefetch")

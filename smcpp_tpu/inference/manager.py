@@ -1395,8 +1395,13 @@ class OnePopInferenceManager(_EagerQOps):
         cache, of = ("_stats_accel", "_stats_accel_of") if accel else (
             "_stats_dev", "_stats_dev_of")
         if getattr(self, of, None) is not self._stats:
+            # device_put NUMPY arrays directly onto the target: an eager
+            # jnp.asarray would first materialize on the DEFAULT device
+            # (the remote TPU under the tunnel), so the first M-step f64
+            # call of every EM iteration paid an ~80 ms round trip just
+            # to stage the fresh E-statistics onto the CPU device
             setattr(self, cache, tuple(
-                jax.device_put(jnp.asarray(s, jnp.float64), dev)
+                jax.device_put(np.asarray(s, np.float64), dev)
                 for s in self._stats
             ))
             setattr(self, of, self._stats)
@@ -1584,7 +1589,84 @@ class TwoPopInferenceManager(_EagerQOps):
         self.model = model
 
     # ------------------------------------------------------------------
+    def _traced_tensors_ok(self):
+        """The round-5 traced JCSFS pipeline (ops/jcsfs_traced.py) handles
+        the E-step/Q tensor setup as ONE jitted CPU program of
+        (y1, y2, split, rho) — the eager path re-ran ~0.1 s of NumPy JCSFS
+        + spline evals per call.  Requires spline marginals (static piece
+        grids); SMCPP_TPU_TRACED_JCSFS=0 reverts to the eager path."""
+        import os
+
+        from ..models import SMCModel, SMCTwoPopulationModel
+
+        if os.environ.get("SMCPP_TPU_TRACED_JCSFS") == "0":
+            return False
+        m = self.model
+        return (
+            isinstance(m, SMCTwoPopulationModel)
+            and isinstance(m.model1, SMCModel)
+            and isinstance(m.model2, SMCModel)
+        )
+
+    def _tensors_traced(self):
+        """(pi, T, E) via the traced JCSFS program, cached per static grid
+        fingerprint.  Numerical deviation from the eager path: the exact
+        eps->0 below-at-split limit (vs the eager two-sided 1e-6 interval)
+        and the raw-model2 history (vs the splice's spline re-fit) — both
+        documented in ops/jcsfs_traced.py and tolerance-tested."""
+        from ..ops import jcsfs_traced as jt
+
+        model = self.model
+        m1, m2 = model.model1, model.model2
+        key = (
+            m1.s.tobytes(), m2.s.tobytes(), self.hidden_states.tobytes(),
+            self.theta, self.alpha, m1._spline_name, m2._spline_name,
+            len(m1.y), len(m2.y),
+        )
+        cache = getattr(self, "_traced_cache", None)
+        if cache is None:
+            cache = self._traced_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            tj = jt.TracedJointCSFS(
+                self.n1, self.n2, self.a1, self.a2, m1.s, m2.s,
+                self.hidden_states, K=self._jcsfs.K,
+            )
+            grid1 = grid_mod.make_time_grid(m1.s, self.hidden_states)
+            theta, alpha, em_idx = self.theta, self.alpha, self.em_idx
+            together = self.a1 == 2
+            part1, hs = tj.part1, self.hidden_states
+            sv1, sv2 = m1.stepwise_values_fn, m2.stepwise_values_fn
+
+            def pipeline(y1, y2, split, rho):
+                a1v = sv1(y1)
+                a2v = sv2(y2)
+                J = tj.compute(a1v, a2v, split)
+                if together:
+                    # distinguished model = model1 (static grid)
+                    pi = ratefunc.initial_distribution(a1v, grid1)
+                    T = transition.transition_matrix(a1v, rho, grid1)
+                    act = ratefunc.average_coal_times(a1v, grid1)
+                else:
+                    # apart model: infinite size below the split
+                    ga, gg = jt.apart_grid_hs(a1v, part1, split, hs)
+                    pi = ratefunc.initial_distribution(ga, gg)
+                    T = transition.transition_matrix(ga, rho, gg)
+                    act = ratefunc.average_coal_times(ga, gg)
+                em = csfs_mod.incorporate_theta(J, theta)
+                e2 = em_mod.e2_matrix(act, theta, alpha)
+                E = em_mod.emission_matrix(em_idx, em, e2)
+                return pi, T, E
+
+            fn = cache[key] = jax.jit(pipeline, device=self._cpu)
+        return fn(
+            np.asarray(m1.y, np.float64), np.asarray(m2.y, np.float64),
+            float(model.split), float(self.rho),
+        )
+
     def tensors(self):
+        if self._traced_tensors_ok():
+            return self._tensors_traced()
         model = self.model
         dist_pid = None if self.a1 == 1 else model.pids[0]
         # the marginal-model surgery / spline evals / JCSFS are host

@@ -198,6 +198,234 @@ class SMCPPOptimizer:
         )
         return True
 
+    # ------------------------------------------------------------------
+    # round-5 unified M-step: ONE coarse dispatch for every scalar search
+    # (rho, global scale, all K knots), batched f64 zoom rounds for the
+    # few that need them, then ONE f64 decision batch.
+    # ------------------------------------------------------------------
+    def _unified_scalars(self, y0, rho0):
+        """Scalar-search specs for one unified M-step round.
+
+        Each spec is a dict with ``name`` (("knot", k) | ("scale",) |
+        ("rho",)), the search window [lo, hi] (log-space for rho), the
+        convergence tolerance ``xatol``, and ``x0`` (the current value in
+        search coordinates)."""
+        a = self._analysis
+        out = []
+        for c in self._coordinates():
+            k = c[0]
+            lo, hi = self._scalar_window(k, y0[k])
+            out.append(dict(name=("knot", k), lo=lo, hi=hi,
+                            xatol=self._xtol, x0=y0[k]))
+        r = min(1.0, self._radius.get("scale", 1.0))
+        out.append(dict(name=("scale",), lo=-r, hi=r,
+                        xatol=self._xtol, x0=0.0))
+        if self._learn_rho and rho0 is not None:
+            th = a._theta
+            llo, lhi = np.log(th / 100), np.log(th * 100)
+            x0 = float(np.clip(np.log(rho0), llo, lhi))
+            r = self._radius.get("rho", np.inf)
+            out.append(dict(name=("rho",), lo=max(llo, x0 - r),
+                            hi=min(lhi, x0 + r), xatol=0.02, x0=x0))
+        return out
+
+    def _unified_rows(self, y0, rho0, pts):
+        """Candidate (ys, rhos) rows for a list of (spec, xs) grids.
+
+        rhos is None when no rho rows are present (Q_batch then uses the
+        manager's current rho for every row)."""
+        ys, rhos, any_rho = [], [], False
+        for s, xs in pts:
+            kind = s["name"][0]
+            for x in xs:
+                y, rho = y0, rho0
+                if kind == "knot":
+                    y = y0.copy()
+                    y[s["name"][1]] = x
+                elif kind == "scale":
+                    y = y0 + x
+                else:
+                    rho, any_rho = float(np.exp(x)), True
+                ys.append(y)
+                rhos.append(rho)
+        return np.asarray(ys), (np.asarray(rhos) if any_rho else None)
+
+    def _unified_mstep(self):
+        """Jacobi-style one-round M-step (round-5; VERDICT r4 item 1).
+
+        The sequential searches cost one accelerator/host dispatch per
+        shrink round per scalar — ~10 dispatches per EM iteration even
+        when the fast coordinate pass engages, and ~25 when it does not.
+        This collapses the whole M-step to (steady state) THREE
+        dispatches:
+
+        1. ONE coarse f32 batch evaluating every scalar's bracketing grid
+           (rho's geometric grid, the scale shifts, all K knot windows)
+           around the iteration-start model — Jacobi, like the round-4
+           coarse prefetch, but for every search;
+        2. zero or more *batched* f64 zoom rounds over only the scalars
+           whose bracket has not converged (at the default xtol even a
+           full +-3 window converges at the first 24-point grid, so in
+           steady state this is empty; rho needs two rounds on the first
+           iteration while its trust radius is still the full 4-decade
+           window — those rows ride the cheap shared-setup rho program
+           when they are the only unconverged scalar);
+        3. ONE f64 decision batch: every scalar's parabola-vertex
+           candidate plus the base row.  A move is accepted only if it
+           beats the base in the exact f64 objective (same fixed-point
+           guarantee as the round-4 fast pass: coarse f32 values only
+           POSITION candidates, never decide); with multiple acceptances
+           one extra row checks the combined move against the best
+           single.
+
+        The sequential machinery remains the fallback
+        (SMCPP_TPU_UNIFIED_MSTEP=0, non-batched analyses, --multi) and
+        the behavioral oracle.  Returns True when it handled the M-step
+        (including rho/scale), False to run the sequential path.
+
+        Reference analogue: the per-coordinate L-BFGS-B blocks of
+        optimizers.py:164-183 + the rho/scale scalar plugins — all
+        driven by the same Q objective (src/hmm.cpp:155-193)."""
+        if os.environ.get("SMCPP_TPU_UNIFIED_MSTEP") == "0":
+            return False
+        a = self._analysis
+        if not (self._single and getattr(a, "has_fast_batch", False)):
+            return False
+        y0 = a.model.y.copy()
+        rho0 = float(a.rho) if self._learn_rho else None
+        scalars = self._unified_scalars(y0, rho0)
+
+        # --- round 0: one coarse dispatch for every scalar ---
+        pts = [(s, np.linspace(s["lo"], s["hi"], self._BATCH))
+               for s in scalars]
+        ys, rhos = self._unified_rows(y0, rho0, pts)
+        vals = np.asarray(a.Q_batch(ys=ys, rhos=rhos, coarse=True), float)
+        off = 0
+        live = []
+        for s, xs in pts:
+            s["xs"], s["vals"] = xs, np.where(
+                np.isfinite(vals[off:off + len(xs)]),
+                vals[off:off + len(xs)], -np.inf)
+            off += len(xs)
+            if np.isfinite(s["vals"]).any():
+                live.append(s)
+            # a scalar whose whole grid is non-finite proposes no move
+
+        # --- batched f64 zoom rounds for unconverged brackets ---
+        def zoom_window(s):
+            j = int(np.argmax(s["vals"]))
+            w = s["xs"][1] - s["xs"][0]
+            return (max(s["lo"], s["xs"][j] - w),
+                    min(s["hi"], s["xs"][j] + w))
+
+        for _ in range(4):
+            todo = []
+            for s in live:
+                lo, hi = zoom_window(s)
+                if hi - lo > 6.0 * s["xatol"]:
+                    s["lo"], s["hi"] = lo, hi
+                    todo.append(s)
+            if not todo:
+                break
+            pts = [(s, np.linspace(s["lo"], s["hi"], self._BATCH_ZOOM))
+                   for s in todo]
+            if all(s["name"][0] == "rho" for s in todo):
+                # rho-only zoom: the shared-setup program (one CSFS
+                # setup + a vmapped transition per candidate)
+                xs = pts[0][1]
+                vals = np.asarray(a.Q_batch(rhos=np.exp(xs)), float)
+            else:
+                ys, rhos = self._unified_rows(y0, rho0, pts)
+                vals = np.asarray(a.Q_batch(ys=ys, rhos=rhos), float)
+            off = 0
+            for s, xs in pts:
+                s["xs"], s["vals"] = xs, np.where(
+                    np.isfinite(vals[off:off + len(xs)]),
+                    vals[off:off + len(xs)], -np.inf)
+                off += len(xs)
+
+        # --- parabola-vertex candidate per scalar ---
+        cands = []
+        for s in live:
+            xs, v = s["xs"], s["vals"]
+            j = int(np.argmax(v))
+            w = xs[1] - xs[0]
+            xq = xs[j]
+            if 0 < j < len(xs) - 1 and np.isfinite(v[j - 1: j + 2]).all():
+                den = v[j - 1] - 2.0 * v[j] + v[j + 1]
+                if den < 0:
+                    xq = xs[j] + 0.5 * w * (v[j - 1] - v[j + 1]) / den
+                    xq = float(np.clip(xq, xs[j] - w, xs[j] + w))
+            s["cand"] = xq
+            # moves far below the search's own resolution are f32-vertex
+            # noise: skip their f64 row (the decision batch is ~4 ms/row
+            # of host f64; at steady state most scalars sit here)
+            if abs(xq - s["x0"]) > 0.25 * s["xatol"]:
+                cands.append(s)
+
+        # trust radii from the proposed moves (accepted or not), exactly
+        # as the round-4 fast pass: a clamped move regrows next iteration
+        for s in live:
+            key = (s["name"][-1] if s["name"][0] == "knot"
+                   else s["name"][0])
+            self._radius[key] = min(3.0, max(
+                4.0 * abs(s.get("cand", s["x0"]) - s["x0"]),
+                4.0 * s["xatol"]))
+
+        if not cands:
+            return True  # fully converged: nothing moved
+        # --- ONE f64 decision batch: candidates + base row ---
+        pts = [(s, [s["cand"]]) for s in cands]
+        ys, rhos = self._unified_rows(y0, rho0, pts)
+        ys = np.concatenate([ys, y0[None]])
+        if rhos is not None:
+            rhos = np.concatenate([rhos, [rho0]])
+        vals = np.asarray(a.Q_batch(ys=ys, rhos=rhos), float)
+        vals = np.where(np.isfinite(vals), vals, -np.inf)
+        v_base = vals[-1]
+        acc = [i for i in range(len(cands)) if vals[i] > v_base]
+        if not acc:
+            return True
+
+        def apply(idxs):
+            y = y0.copy()
+            rho = None
+            for i in idxs:
+                s = cands[i]
+                kind = s["name"][0]
+                if kind == "scale":
+                    mask = np.ones(len(y), bool)
+                    for j in idxs:
+                        if cands[j]["name"][0] == "knot":
+                            mask[cands[j]["name"][1]] = False
+                    y[mask] += s["cand"]
+                elif kind == "knot":
+                    y[s["name"][1]] = s["cand"]
+                else:
+                    rho = float(np.exp(s["cand"]))
+            return y, rho
+
+        best = max(acc, key=lambda i: vals[i])
+        y_new, rho_new = apply(acc)
+        if len(acc) > 1:
+            v_comb = np.asarray(
+                a.Q_batch(
+                    ys=y_new[None],
+                    rhos=None if rho_new is None else np.array([rho_new]),
+                ), float)[0]
+            if not (np.isfinite(v_comb) and v_comb >= vals[best]):
+                # couplings hurt the combined move: take the best single
+                y_new, rho_new = apply([best])
+        a.model.y = y_new
+        if rho_new is not None:
+            logger.info("New rho: %g", rho_new)
+            a.rho = rho_new
+        logger.debug(
+            "unified M-step: %d/%d scalars moved in one f64 batch",
+            len(acc), len(cands),
+        )
+        return True
+
     def _minimize(self, x0, coords, coarse0=None):
         bounds = np.transpose(
             [
@@ -496,18 +724,19 @@ class SMCPPOptimizer:
                     self._analysis.dump(
                         os.path.join(self._outdir, f".{self._base}.iter{i}")
                     )
-                if self._learn_rho:
-                    th = self._analysis._theta
-                    self._optimize_param("rho", (th / 100, th * 100))
-                self._optimize_scale()
-                prefetch = self._prefetch_coarse()
-                if not self._fast_coordinate_pass(prefetch):
-                    for coords in self._coordinates():
-                        x0 = self._analysis.model.y[coords]
-                        res = self._minimize(
-                            x0, coords, coarse0=prefetch.get(coords[0])
-                        )
-                        self._analysis.model.y[coords] = res.x
+                if not self._unified_mstep():
+                    if self._learn_rho:
+                        th = self._analysis._theta
+                        self._optimize_param("rho", (th / 100, th * 100))
+                    self._optimize_scale()
+                    prefetch = self._prefetch_coarse()
+                    if not self._fast_coordinate_pass(prefetch):
+                        for coords in self._coordinates():
+                            x0 = self._analysis.model.y[coords]
+                            res = self._minimize(
+                                x0, coords, coarse0=prefetch.get(coords[0])
+                            )
+                            self._analysis.model.y[coords] = res.x
                 if logger.isEnabledFor(logging.DEBUG):
                     logger.debug(
                         "size history after iteration %d:\n%s",

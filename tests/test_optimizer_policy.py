@@ -268,3 +268,148 @@ def test_fast_pass_coupling_falls_back_to_best_single():
     assert q1 > q0  # never regress
     # exactly one knot moved (the combined move was rejected)
     assert (np.abs(a.model.y - y0) > 1e-9).sum() == 1
+
+
+# -- unified M-step (round-5: one coarse dispatch + one f64 decision) ------
+
+class FakeAnalysisRho(FakeAnalysis):
+    """FakeAnalysis plus a rho term: Q -= wr * (log rho - log rho_opt)^2."""
+
+    def __init__(self, K=4, opt=None, w=None, rho_opt=0.02, wr=1.0):
+        super().__init__(K=K, opt=opt, w=w)
+        self.rho = 0.01
+        self._theta = 0.01
+        self.rho_opt = rho_opt
+        self.wr = wr
+
+    def Q_batch(self, ys=None, rhos=None, coarse=False):
+        if ys is None:
+            ys = np.tile(self.model.y, (len(rhos), 1))
+        self.calls.append((np.asarray(ys, float).copy(), bool(coarse)))
+        v = self._q(ys)
+        if rhos is not None:
+            r = np.asarray(rhos, float)
+            v = v - self.wr * (np.log(r) - np.log(self.rho_opt)) ** 2
+        else:
+            v = v - self.wr * (np.log(self.rho) - np.log(self.rho_opt)) ** 2
+        if coarse and self.coarse_value is not None:
+            v = np.full_like(v, self.coarse_value)
+        return v
+
+
+def test_unified_steady_state_dispatch_count():
+    """With converged radii the whole M-step (scale + all knots) is one
+    coarse dispatch + one f64 decision batch (+ combined check)."""
+    o = make_opt(FakeAnalysis(K=4))
+    a = o._analysis
+    r = _converged_radius(o)
+    a.model.y[:] = 1.5 - 0.4 * r
+    o._radius = {k: r for k in range(4)}
+    o._radius["scale"] = r
+    assert o._unified_mstep()
+    coarse_calls = [ys for ys, c in a.calls if c]
+    f64_calls = [ys for ys, c in a.calls if not c]
+    assert len(coarse_calls) == 1  # every scalar rides one coarse batch
+    assert len(coarse_calls[0]) == 4 * o._BATCH + o._BATCH  # knots + scale
+    assert len(f64_calls) <= 2  # decision batch + combined check
+    np.testing.assert_allclose(a.model.y, 1.5, atol=2 * o._xtol)
+
+
+def test_unified_first_iteration_no_radius():
+    "Without trust radii (iteration 1) the full +-3 windows still work."
+    o = make_opt(FakeAnalysis(K=3, opt=[1.2, -0.8, 0.5]))
+    a = o._analysis
+    assert o._unified_mstep()
+    # at xtol=1e-3 the +-3 coarse bracket is NOT converged -> batched
+    # f64 zoom rounds, then the decision batch; everything lands
+    np.testing.assert_allclose(a.model.y, a.opt, atol=5 * o._xtol)
+    # radii established for the next iteration
+    assert {0, 1, 2, "scale"} <= set(o._radius)
+
+
+def test_unified_zoom_rounds_are_batched():
+    "Unconverged scalars zoom together: one f64 dispatch per round."
+    o = make_opt(FakeAnalysis(K=4), xtol=1e-4)
+    a = o._analysis
+    o._radius = {k: 2.0 for k in range(4)}  # wide: zoom needed everywhere
+    a.model.y[:] = 1.0
+    assert o._unified_mstep()
+    # every f64 call must carry MULTIPLE scalars' grids (no per-scalar
+    # sequential dispatches): width > one zoom grid
+    f64_calls = [ys for ys, c in a.calls if not c]
+    zooms = [ys for ys in f64_calls if len(ys) > o._BATCH_ZOOM]
+    assert zooms, "expected batched zoom rounds"
+    np.testing.assert_allclose(a.model.y, 1.5, atol=5e-3)
+
+
+def test_unified_learn_rho_updates_rho():
+    "The rho scalar rides the same machinery and updates a.rho."
+    o = make_opt(FakeAnalysisRho(K=2, rho_opt=0.02))
+    o._learn_rho = True
+    a = o._analysis
+    a.model.y[:] = 1.5  # knots already optimal
+    assert o._unified_mstep()
+    assert abs(np.log(a.rho) - np.log(0.02)) < 0.05
+    assert "rho" in o._radius
+
+
+def test_unified_rejects_nonimproving_candidates():
+    "Stale coarse values position candidates; f64 decides — no regression."
+    o = make_opt(FakeAnalysis(K=2))
+    a = o._analysis
+    r = _converged_radius(o)
+    shift = 0.3 * r
+    orig = a.Q_batch
+
+    def q_batch(ys=None, rhos=None, coarse=False):
+        if coarse:
+            return orig(ys=np.asarray(ys, float) - shift, coarse=True)
+        return orig(ys=ys, rhos=rhos, coarse=coarse)
+
+    a.Q_batch = q_batch
+    a.model.y[:] = 1.5  # at the optimum already
+    o._radius = {k: r for k in range(2)}
+    assert o._unified_mstep()
+    np.testing.assert_allclose(a.model.y, 1.5, atol=1e-12)
+
+
+def test_unified_combined_falls_back_to_best_single():
+    "Coupled knots: combined move rejected, best single applied."
+
+    class Coupled(FakeAnalysis):
+        def _q(self, ys):
+            ys = np.atleast_2d(np.asarray(ys, float))
+            return -((ys[:, 0] + ys[:, 1] - 1.0) ** 2)
+
+    o = make_opt(Coupled(K=2))
+    a = o._analysis
+    r = _converged_radius(o)
+    y0 = 0.5 + 0.45 * r
+    a.model.y[:] = [y0, y0]
+    o._radius = {k: r for k in range(2)}
+    q0 = float(a._q(a.model.y[None])[0])
+    assert o._unified_mstep()
+    q1 = float(a._q(a.model.y[None])[0])
+    assert q1 > q0
+
+
+def test_unified_env_off(monkeypatch):
+    monkeypatch.setenv("SMCPP_TPU_UNIFIED_MSTEP", "0")
+    o = make_opt(FakeAnalysis(K=2))
+    assert not o._unified_mstep()
+
+
+def test_unified_requires_fast_batch():
+    a = FakeAnalysis(K=2)
+    a.has_fast_batch = False
+    assert not make_opt(a)._unified_mstep()
+
+
+def test_unified_all_nonfinite_coarse_proposes_nothing():
+    "A scalar whose whole coarse grid is non-finite must not move."
+    a = FakeAnalysis(K=2)
+    a.coarse_value = -np.inf
+    o = make_opt(a)
+    y0 = a.model.y.copy()
+    assert o._unified_mstep()
+    np.testing.assert_array_equal(a.model.y, y0)
