@@ -1610,18 +1610,36 @@ class TwoPopInferenceManager(_EagerQOps):
 
     def _tensors_traced(self):
         """(pi, T, E) via the traced JCSFS program, cached per static grid
-        fingerprint.  Numerical deviation from the eager path: the exact
-        eps->0 below-at-split limit (vs the eager two-sided 1e-6 interval)
-        and the raw-model2 history (vs the splice's spline re-fit) — both
-        documented in ops/jcsfs_traced.py and tolerance-tested."""
+        fingerprint.
+
+        The pop-2 marginal is the reference's for_pop splice (model2 below
+        the split, model1 above, re-fit through a spline —
+        /root/reference/smcpp/_smcpp.pyx:363); its spline re-fit has
+        dynamic knots, so the splice's stepwise values are evaluated
+        host-side (sub-ms) and passed as a traced *argument* on its static
+        100-piece grid.  The one numerical deviation from the eager path
+        is the exact eps->0 below-at-split limit (vs the eager two-sided
+        1e-6 interval) — documented in ops/jcsfs_traced.py and
+        tolerance-tested in tests/test_jcsfs_traced.py."""
         from ..ops import jcsfs_traced as jt
 
         model = self.model
-        m1, m2 = model.model1, model.model2
+        m1 = model.model1
+        # the splice evaluation is ~20 ms of host spline work; memoize on
+        # the parameter fingerprint (decode loops call tensors() with
+        # unchanged params many times)
+        sk = (model.model1.y.tobytes(), model.model2.y.tobytes(),
+              float(model.split))
+        m2s_memo = getattr(self, "_splice_memo", None)
+        if m2s_memo is None or m2s_memo[0] != sk:
+            m2s = _marginal_model(model, model.pids[1])
+            self._splice_memo = (
+                sk, m2s, np.asarray(m2s.stepwise_values(), np.float64),
+            )
+        _, m2s, m2s_vals = self._splice_memo
         key = (
-            m1.s.tobytes(), m2.s.tobytes(), self.hidden_states.tobytes(),
-            self.theta, self.alpha, m1._spline_name, m2._spline_name,
-            len(m1.y), len(m2.y),
+            m1.s.tobytes(), m2s.s.tobytes(), self.hidden_states.tobytes(),
+            self.theta, self.alpha, m1._spline_name, len(m1.y),
         )
         cache = getattr(self, "_traced_cache", None)
         if cache is None:
@@ -1629,18 +1647,17 @@ class TwoPopInferenceManager(_EagerQOps):
         fn = cache.get(key)
         if fn is None:
             tj = jt.TracedJointCSFS(
-                self.n1, self.n2, self.a1, self.a2, m1.s, m2.s,
+                self.n1, self.n2, self.a1, self.a2, m1.s, m2s.s,
                 self.hidden_states, K=self._jcsfs.K,
             )
             grid1 = grid_mod.make_time_grid(m1.s, self.hidden_states)
             theta, alpha, em_idx = self.theta, self.alpha, self.em_idx
             together = self.a1 == 2
             part1, hs = tj.part1, self.hidden_states
-            sv1, sv2 = m1.stepwise_values_fn, m2.stepwise_values_fn
+            sv1 = m1.stepwise_values_fn
 
-            def pipeline(y1, y2, split, rho):
+            def pipeline(y1, a2v, split, rho):
                 a1v = sv1(y1)
-                a2v = sv2(y2)
                 J = tj.compute(a1v, a2v, split)
                 if together:
                     # distinguished model = model1 (static grid)
@@ -1660,7 +1677,7 @@ class TwoPopInferenceManager(_EagerQOps):
 
             fn = cache[key] = jax.jit(pipeline, device=self._cpu)
         return fn(
-            np.asarray(m1.y, np.float64), np.asarray(m2.y, np.float64),
+            np.asarray(m1.y, np.float64), m2s_vals,
             float(model.split), float(self.rho),
         )
 

@@ -58,13 +58,16 @@ def expm_recomb(c_rho, c_eta):
 def _piece_expms(ada, rho, grid: TimeGrid):
     """Per-piece 3x3 expm; identity for zero-width pieces; absorbing matrix
     for the terminal piece (exp of an infinite interval)."""
+    # xp-generic over grid.dt so traced-width grids (the traced JCSFS's
+    # apart dual grid, ops/jcsfs_traced.py) lower through; for static
+    # grids everything below constant-folds.
     is_last = np.zeros(grid.K, dtype=bool)
     is_last[-1] = True
-    zero_piece = np.asarray(grid.dt <= 0.0)
-    zero_piece[-1] = False
+    dtj = jnp.asarray(grid.dt)
+    zero_piece = jnp.where(jnp.asarray(is_last), False, dtj <= 0.0)
     # The closed form overflows (sinh/cosh of ~1e250) on the terminal piece,
     # which would poison gradients through the select: mask dt first.
-    dt = jnp.asarray(np.where(is_last, 1.0, grid.dt))
+    dt = jnp.where(jnp.asarray(is_last), 1.0, dtj)
     c_eta = ada * dt
     c_rho = rho * dt
     E = expm_recomb(c_rho, c_eta)  # (K,3,3)
