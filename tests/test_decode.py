@@ -401,8 +401,36 @@ def test_window_decode_matches_row_decode():
     np.testing.assert_allclose(g_win, g_row, rtol=2e-3, atol=1e-3)
 
 
-def test_window_decode_single_device_matches_mesh():
+def test_decode_transfer_f16_rounding_bounded(monkeypatch):
+    """The default f16 device->host gamma pull (manager._transfer_dtype)
+    halves the transfer; its rounding must stay below the documented
+    2^-12-per-unit-mass bound relative to the exact f32 pull."""
+    rng = np.random.RandomState(33)
+    n_rows = 200
+    data = np.zeros((n_rows, 4), dtype=np.int32)
+    data[:, 0] = rng.randint(1, 40, n_rows)
+    data[:, 1] = rng.randint(0, 3, n_rows)
+    data[:, 3] = 2
+    data[:, 2] = rng.randint(0, 3, n_rows)
+    im = _make_im(data)
+    im.save_gamma = True
+    monkeypatch.setenv("SMCPP_TPU_DECODE_TRANSFER", "f32")
+    im.E_step()
+    g32 = im.gammas[0]
+    monkeypatch.setenv("SMCPP_TPU_DECODE_TRANSFER", "f16")
+    im.E_step()
+    g16 = im.gammas[0]
+    spans = data[:, 0].astype(np.float64)
+    # per-row mass = span; f16 quantization <= ~2.5e-4 of the row mass
+    assert np.max(np.abs(g16 - g32) / spans[:, None]) < 5e-4
+    np.testing.assert_allclose(g16.sum(axis=1), spans, rtol=1e-3)
+
+
+def test_window_decode_single_device_matches_mesh(monkeypatch):
     "The cumsum+take (1-device) and segment-sum (mesh) decodes agree."
+    # exact f32 pull: this oracle compares the two aggregation paths at
+    # 1e-4, below the default f16 transfer rounding
+    monkeypatch.setenv("SMCPP_TPU_DECODE_TRANSFER", "f32")
     rng = np.random.RandomState(31)
     n_rows = 250
     data = np.zeros((n_rows, 4), dtype=np.int32)

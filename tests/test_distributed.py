@@ -383,6 +383,10 @@ def test_two_process_hostlocal_posterior_cli(tmp_path):
         PALLAS_AXON_POOL_IPS="",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
         PYTHONPATH=os.path.dirname(HERE),
+        # pin the exact f32 gamma pull: this oracle checks host-local
+        # sharding correctness at 2e-4, below the default f16 transfer
+        # rounding (manager._transfer_dtype)
+        SMCPP_TPU_DECODE_TRANSFER="f32",
     )
     # quick marginal fit to decode against
     p = subprocess.run(
@@ -518,6 +522,7 @@ def test_two_process_hostlocal_twopop_posterior_cli(tmp_path):
         PALLAS_AXON_POOL_IPS="",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
         PYTHONPATH=os.path.dirname(HERE),
+        SMCPP_TPU_DECODE_TRANSFER="f32",  # see one-pop posterior test
     )
     p = subprocess.run(
         [sys.executable, "-m", "smcpp_tpu.commands.main", "estimate",

@@ -22,9 +22,12 @@ BENCH = os.path.join(
 )
 RESULT = os.path.join(
     os.path.dirname(os.path.dirname(__file__)),
-    "benchmarks", "results", "twopop_decode_r4.json",
+    "benchmarks", "results", "twopop_decode_r5.json",
 )
 ORACLE_BOUND = 5e-2  # f32 decode vs f64 span oracle, relative
+# round-5 regression bar: the traced JCSFS pipeline made the two-pop
+# E-step kernel-bound (0.106 s measured); 0.2 allows tunnel volatility
+ESTEP_BOUND_S = 0.2
 
 
 @pytest.mark.slow
@@ -52,3 +55,4 @@ def test_recorded_twopop_result():
     res = json.load(open(RESULT))["result"]
     assert res["M"] == 32 and res["windows"] >= 10_000_000
     assert res["probe_oracle_max_rel_err"] <= ORACLE_BOUND
+    assert res["estep_s"] <= ESTEP_BOUND_S
