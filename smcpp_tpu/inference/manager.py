@@ -375,9 +375,8 @@ class _EagerQOps:
                 )
                 self._decode_args = (self._spans, self._keys)
         g = self._decode_fn(pi_d, T_d, E_d, *self._decode_args)
-        tdt = self._transfer_dtype()
-        if g.dtype != tdt and tdt == jnp.float16:
-            g = g.astype(tdt)  # on-device cast: halves the host pull
+        if self._transfer_dtype() == jnp.float16:
+            g = self._pull_gammas_f16(g, row_axis=-1)
         g = np.asarray(g, np.float64)
         out = []
         for i, reps in enumerate(self._row_reps):
@@ -564,16 +563,31 @@ class _EagerQOps:
     def _transfer_dtype():
         """Device->host dtype for the decoded (n_rows, M) gamma pull.
 
-        Default float16: posterior masses live in [0, 1], so quantization
-        error is <= 2^-12 ~ 2.4e-4 absolute (~5e-4 relative) — far below
-        any downstream use of a posterior decode — and the pull through a
-        slow host link (order 100s of MB at production scale) halves.
-        SMCPP_TPU_DECODE_TRANSFER=f32 restores the exact kernel output
-        (the accuracy tests pin it)."""
+        Default float16: the rows are normalized on device first (their
+        masses travel as a separate f32 vector), so every transferred
+        value lives in [0, 1] — f16 cannot overflow and quantization is
+        <= 2^-12 ~ 2.4e-4 of each row's mass (~5e-4 relative) — far
+        below any downstream use of a posterior decode — while the pull
+        through a slow host link (order 100s of MB at production scale)
+        halves.  SMCPP_TPU_DECODE_TRANSFER=f32 restores the exact kernel
+        output (the accuracy tests pin it)."""
         import os
 
         v = os.environ.get("SMCPP_TPU_DECODE_TRANSFER", "f16").lower()
         return jnp.float32 if v in ("f32", "float32") else jnp.float16
+
+    @staticmethod
+    def _pull_gammas_f16(g, row_axis=-1):
+        """Pull a device gamma-mass array as (normalized f16, f32 masses).
+
+        Row masses equal the row SPANS (up to ~1e5 for unbinned data) and
+        overflow f16; normalizing on device keeps every transferred value
+        in [0, 1] and the host restores masses exactly from the f32 sum
+        vector (1/M-th of the full array)."""
+        rs = jnp.sum(g, axis=row_axis, keepdims=True)
+        gn = (g / jnp.maximum(rs, 1e-30)).astype(jnp.float16)
+        gn, rs = jax.device_get((gn, rs))
+        return gn.astype(np.float64) * rs.astype(np.float64)
 
     def _window_decode(self, pi_d, T_d, E_d):
         """Row-resolution gammas via the (mesh-)sharded window decode
@@ -584,9 +598,8 @@ class _EagerQOps:
         _, g = self._wdecode_fn(
             pi_d, T_d, E_d, self._wkeys, self._wvalid, self._wrow_ids
         )
-        tdt = self._transfer_dtype()
-        if g.dtype != tdt and tdt == jnp.float16:
-            g = g.astype(tdt)  # on-device cast: halves the host pull
+        if self._transfer_dtype() == jnp.float16:
+            g = self._pull_gammas_f16(g, row_axis=-1)
         g = np.asarray(g, np.float64)
         out, off = [], getattr(self, "_wrow_offset", 0)
         for spans in self._wrow_spans:
