@@ -113,10 +113,13 @@ def _make_im(data, max_span=None, **kw):
     return im
 
 
-def test_gamma_alignment_under_span_splitting():
+def test_gamma_alignment_under_span_splitting(monkeypatch):
     """pack_observations splits long spans into sub-rows; the decoded
     gammas and MAP paths must still line up 1:1 with the caller's rows
     (this was silently wrong when the decode returned sub-row arrays)."""
+    # exact f32 pull: this oracle compares raw masses at atol 1e-5 on
+    # ~5e4-mass rows, below the default f16 transfer rounding
+    monkeypatch.setenv("SMCPP_TPU_DECODE_TRANSFER", "f32")
     rng = np.random.RandomState(3)
     n_rows = 60
     data = np.zeros((n_rows, 4), dtype=np.int32)
