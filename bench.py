@@ -151,7 +151,7 @@ def real_pipeline_metrics():
         return {"real_pipeline": "error (traceback on stderr)"}
     keep = ("real_pipeline_gbps", "total_gbp", "estep_s", "decode_s",
             "decode_kernel_s", "decode_kernel_gbps", "viterbi_s",
-            "em_iteration_s", "kernel")
+            "em_iteration_s", "kernel", "roofline_sol_s", "roofline_frac")
     return {k: m[k] for k in keep if k in m}
 
 

@@ -104,6 +104,27 @@ def prep():
     print(json.dumps(out))
 
 
+def roofline_sol_s(S, L, M, peak_bf16=394e12, peak_f32=197e12, mxu=128.0):
+    """MXU-shape-limited E-step floor in seconds (the quantitative form
+    of docs/ROADMAP.md's speed-of-light prose; VERDICT r4 next-8).
+
+    Per scan step over L windows the direct kernel's MXU work is
+      pass 1 (operator accumulate, bf16 default-precision passes):
+        (M,M) @ (M, S*M) -> 2*M^3*S flops,
+      stat sweeps (alpha + beta, exact f32): a T-apply (M,M)@(M,S) and a
+        statistics matmul (M,S)@(S,M) each -> 8*M^2*S flops.
+    A 128x128 systolic array runs an M=16 contraction at (M/mxu)^2
+    utilization, so the floor rate is peak * (M/mxu)^2.  The reported
+    fraction is against this shape-aware floor — absolute peak is
+    unreachable by (mxu/M)^2 = 64x at M = 16 regardless of kernel
+    engineering (the contraction dims are the model, not the tiling).
+    Peaks are the v5e/v5-lite MXU numbers; adjust for other parts."""
+    eff = (M / mxu) ** 2
+    t_pass1 = 2.0 * M**3 * S * L / (peak_bf16 * eff)
+    t_sweeps = 8.0 * M**2 * S * L / (peak_f32 * eff)
+    return t_pass1 + t_sweeps
+
+
 def measure(em_iterations=2, decode=True, max_contigs=None):
     """Measure the real-pipeline C3 numbers on the default device.
 
@@ -160,6 +181,14 @@ def measure(em_iterations=2, decode=True, max_contigs=None):
         "n_keys": int(im.em_idx.n_keys),
         "kernel": "window" if im._use_windows else "span",
     }
+    if im._use_windows:
+        S, L = im._wkeys.shape
+        Mdim = len(im.hidden_states) - 1
+        sol = roofline_sol_s(S, L, Mdim)
+        out.update(
+            roofline_sol_s=round(sol, 3),
+            roofline_frac=round(sol / t_e, 2),
+        )
 
     if decode:
         # posterior decode (gammas at row resolution) + MAP paths

@@ -86,11 +86,15 @@ def build_manager(with_probe=True):
 
     rng = np.random.default_rng(0)
     data = [synth_contig(rng, WINDOWS) for _ in range(C)]
-    probe = None
+    probes = []
     if with_probe:
-        # small probe contig: cheap span-kernel f64 oracle target
-        probe = synth_contig(rng, 60_000)[:PROBE_ROWS]
-        data.append(probe)
+        # small probe contigs: cheap span-kernel f64 oracle targets
+        # (3 independent draws — VERDICT r4 next-5: one probe was a
+        # single point estimate of the error distribution)
+        probes = [
+            synth_contig(rng, 60_000)[:PROBE_ROWS] for _ in range(3)
+        ]
+        data.extend(probes)
     windows = float(sum(d[:, 0].sum() for d in data))
 
     m1 = SMCModel(np.logspace(-2, np.log10(3.0), 8), 20000.0, "pchip",
@@ -114,7 +118,7 @@ def build_manager(with_probe=True):
          f"{im.em_idx.n_keys} keys, {len(data)} contigs, "
          f"{windows:.0f} windows, build {time.time()-t0:.0f} s")
     assert im._use_windows, "cost model must pick windows at this scale"
-    return im, windows, probe
+    return im, windows, probes
 
 
 def measure_estep(im, reps=3):
@@ -137,7 +141,7 @@ def main():
     import jax.numpy as jnp
     from smcpp_tpu.ops import hmm
 
-    im, windows, probe = build_manager()
+    im, windows, probes = build_manager()
     total_bases = windows * W
     t_e, t_warm, ll = measure_estep(im)
 
@@ -163,32 +167,68 @@ def main():
     jax.block_until_ready(o)
     t_decode_kernel = time.perf_counter() - t0
 
-    # oracle check on the probe contig: span-kernel f64 row gammas.
+    # oracle check on the probe contigs: span-kernel f64 row gammas.
     # Runs on the CPU backend — the oracle is tiny, and the accelerator
     # has no native f64 (an earlier run faulted the TPU worker on this
     # emulated-f64 program after the large decode streams were resident).
-    g = im.gammas[-1]
-    pi, T, E = (np.asarray(x, np.float64) for x in im.tensors())
+    # The timed decode above used the production default f16 transfer;
+    # re-pull exact f32 here so the decomposition measures the KERNEL,
+    # not the (separately bounded) transfer rounding.
+    os.environ["SMCPP_TPU_DECODE_TRANSFER"] = "f32"
+    im.E_step()
     cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        ref = np.asarray(
-            hmm.posterior_gammas(
-                jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
-                jnp.asarray(np.asarray(im._spans[-1])),
-                jnp.asarray(np.asarray(im._keys[-1])),
-                im._nbits, im._chunk,
+    pi, T, E = (np.asarray(x, np.float64) for x in im.tensors())
+    span_refs = []
+    for ci in range(-len(probes), 0):
+        with jax.default_device(cpu):
+            ref = np.asarray(
+                hmm.posterior_gammas(
+                    jnp.asarray(pi), jnp.asarray(T), jnp.asarray(E),
+                    jnp.asarray(np.asarray(im._spans[ci])),
+                    jnp.asarray(np.asarray(im._keys[ci])),
+                    im._nbits, im._chunk,
+                )
             )
-        )
-    reps = im._row_reps[-1]
-    nsub = int(reps.sum())
-    offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
-    ref_rows = np.add.reduceat(ref[:nsub], offs, axis=0)
-    err = np.abs(g - ref_rows) / np.maximum(np.abs(ref_rows), 1e-2)
-    _log(f"probe oracle: max rel err {err.max():.2e}")
-    assert err.max() < 5e-2, err.max()
-    np.testing.assert_allclose(
-        g.sum(axis=1), probe[: len(g), 0], rtol=1e-3
+        reps = im._row_reps[ci]
+        nsub = int(reps.sum())
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        span_refs.append(np.add.reduceat(ref[:nsub], offs, axis=0))
+
+    # decomposition (VERDICT r4 next-5): run the SAME window decode at
+    # f64 on a probe-only manager — err(f32 vs span-f64) splits into the
+    # algorithmic window-vs-span difference (expected ~fp-level) and the
+    # pure f32-accumulation part
+    from smcpp_tpu.inference.manager import TwoPopInferenceManager
+
+    im64 = TwoPopInferenceManager(
+        N1, N2, A1, A2, list(probes), im.hidden_states,
+        ("pop1", "pop2"), 0.5,
+        estep_dtype=jnp.float64, compute_device=cpu,
     )
+    if not im64._use_windows:
+        im64._use_windows = True
+        im64._estep_fn = im64._build_estep_fn()
+    im64.set_model(im.model)
+    im64.theta, im64.alpha, im64.rho = im.theta, im.alpha, im.rho
+    im64.save_gamma = True
+    im64.E_step()
+
+    e_total = e_prec = e_alg = 0.0
+    for k, ci in enumerate(range(-len(probes), 0)):
+        g32 = im.gammas[ci]
+        g64 = im64.gammas[k]
+        ref_rows = span_refs[k]
+        den = np.maximum(np.abs(ref_rows), 1e-2)
+        e_total = max(e_total, float(np.max(np.abs(g32 - ref_rows) / den)))
+        e_prec = max(e_prec, float(np.max(np.abs(g32 - g64) / den)))
+        e_alg = max(e_alg, float(np.max(np.abs(g64 - ref_rows) / den)))
+        np.testing.assert_allclose(
+            g32.sum(axis=1), probes[k][: len(g32), 0], rtol=1e-3
+        )
+    _log(f"probe oracle ({len(probes)} contigs): f32-vs-span {e_total:.2e} "
+         f"= precision {e_prec:.2e} + algorithmic {e_alg:.2e}")
+    assert e_total < 5e-2, e_total
+    assert e_alg < 2e-3, e_alg  # window == span up to fp at f64
 
     print(json.dumps({
         "metric": "twopop_decode",
@@ -204,7 +244,10 @@ def main():
         "decode_warmup_s": round(t_decode_warm, 1),
         "estep_warmup_s": round(t_warm, 1),
         "loglik": float(ll),
-        "probe_oracle_max_rel_err": float(err.max()),
+        "probe_oracle_max_rel_err": float(e_total),
+        "probe_err_precision": float(e_prec),
+        "probe_err_algorithmic": float(e_alg),
+        "n_probes": len(probes),
     }))
 
 

@@ -178,11 +178,14 @@ class BaseAnalysis:
                 jax.vmap(self._model.regularizer_fn), device=_cpu_device()
             )
             self._reg_batch_key = key
-        # same canonical width buckets as manager.Q_batch: every distinct
-        # width is a fresh trace+compile of the vmapped regularizer
+        # ONE canonical width (vs manager.Q_batch's graded buckets):
+        # the regularizer is a K-vector second-difference — evaluating
+        # the padded tail costs microseconds, while every distinct width
+        # is a fresh trace+compile (7 signatures observed on a tiny C1
+        # estimate before this; cold-start item, VERDICT r4 next-4)
         ys = np.asarray(ys)
         B = len(ys)
-        W = OnePopInferenceManager._bucket_width(B)
+        W = max(OnePopInferenceManager._bucket_width(B), 384)
         if W != B:
             ys = np.concatenate([ys, np.tile(ys[:1], (W - B, 1))])
         return np.asarray(self._reg_batch_fn(ys))[:B]

@@ -41,6 +41,13 @@ PRECISION_LADDER = ("default", "tensorfloat32", "highest")
 _PRECISION_ALIASES = {"bfloat16": "default", "float32": "highest"}
 
 
+@partial(jax.jit, static_argnames=("row_axis",))
+def _normalize_f16(g, row_axis):
+    "One fused device program (vs 3 eager dispatches on a remote device)."
+    rs = jnp.sum(g, axis=row_axis, keepdims=True)
+    return (g / jnp.maximum(rs, 1e-30)).astype(jnp.float16), rs
+
+
 def _cpu_device():
     "A PROCESS-LOCAL cpu device (jax.devices('cpu')[0] may be a remote host's)."
     try:
@@ -377,7 +384,7 @@ class _EagerQOps:
         g = self._decode_fn(pi_d, T_d, E_d, *self._decode_args)
         if self._transfer_dtype() == jnp.float16:
             g = self._pull_gammas_f16(g, row_axis=-1)
-        g = np.asarray(g, np.float64)
+        g = np.asarray(g, np.float32)
         out = []
         for i, reps in enumerate(self._row_reps):
             nsub = int(reps.sum())
@@ -583,11 +590,13 @@ class _EagerQOps:
         Row masses equal the row SPANS (up to ~1e5 for unbinned data) and
         overflow f16; normalizing on device keeps every transferred value
         in [0, 1] and the host restores masses exactly from the f32 sum
-        vector (1/M-th of the full array)."""
-        rs = jnp.sum(g, axis=row_axis, keepdims=True)
-        gn = (g / jnp.maximum(rs, 1e-30)).astype(jnp.float16)
+        vector (1/M-th of the full array).  The restore runs f16 -> f32
+        (the hardware F16C path; a direct f16 -> f64 astype measured
+        12.7 s at C3 scale vs ~1 s via f32) and the result STAYS f32 —
+        the values carry <= 2^-12-of-row-mass quantization anyway."""
+        gn, rs = _normalize_f16(g, row_axis)
         gn, rs = jax.device_get((gn, rs))
-        return gn.astype(np.float64) * rs.astype(np.float64)
+        return gn.astype(np.float32) * np.asarray(rs, np.float32)
 
     def _window_decode(self, pi_d, T_d, E_d):
         """Row-resolution gammas via the (mesh-)sharded window decode
@@ -600,7 +609,10 @@ class _EagerQOps:
         )
         if self._transfer_dtype() == jnp.float16:
             g = self._pull_gammas_f16(g, row_axis=-1)
-        g = np.asarray(g, np.float64)
+        # f32 end-to-end: a (n_rows, M) f64 host copy at C3 scale is 1 GB
+        # of allocation + conversion for values already carrying f32 (or
+        # f16-transfer) noise
+        g = np.asarray(g, np.float32)
         out, off = [], getattr(self, "_wrow_offset", 0)
         for spans in self._wrow_spans:
             out.append(g[off : off + len(spans)])
@@ -1028,21 +1040,50 @@ class OnePopInferenceManager(_EagerQOps):
 
                 return base + jax.vmap(xi_term)(rhos)
 
+            # traced+lowered programs cached on disk (progcache): a warm
+            # start pays ~1 ms deserialization per signature instead of
+            # ~0.5 s trace + lower each (the dominant term of a tiny
+            # estimate's cold start; docs/ROADMAP.md round-5 notes)
+            from . import progcache as pc
+
+            fp = self._q_family_fp()
+            cpu = self._cpu
             self._setup_cache[key] = (
-                jax.jit(fn, device=self._cpu),
-                jax.jit(q, device=self._cpu),
-                jax.jit(jax.value_and_grad(q, argnums=0), device=self._cpu),
+                pc.exported_jit("tensors", fp, lambda: fn, device=cpu),
+                pc.exported_jit("q", fp, lambda: q, device=cpu),
+                pc.exported_jit(
+                    "qvg", fp,
+                    lambda: jax.value_and_grad(q, argnums=0), device=cpu,
+                ),
                 # batched Q over candidate (y, rho) rows: the M-step's
                 # scalar searches evaluate a whole candidate grid in ONE
                 # call (the Q graph is dispatch-bound, so a width-B vmap
                 # costs barely more than a single evaluation)
-                jax.jit(
-                    jax.vmap(q, in_axes=(0, None, 0, None, None, None, None)),
-                    device=self._cpu,
+                pc.exported_jit(
+                    "qbatch", fp,
+                    lambda: jax.vmap(
+                        q, in_axes=(0, None, 0, None, None, None, None)
+                    ),
+                    device=cpu,
                 ),
-                jax.jit(q_rho_batch, device=self._cpu),
+                pc.exported_jit("qrho", fp, lambda: q_rho_batch, device=cpu),
             )
         return self._setup_cache[key]
+
+    def _q_family_fp(self):
+        """Closure fingerprint of the _setup programs: everything their
+        traces bake in beyond the argument shapes (the code itself is
+        covered by progcache's source hash)."""
+        from . import progcache as pc
+
+        g, idx, m = self._grid, self.em_idx, self.model
+        return pc.fingerprint(
+            np.asarray(g.ts), np.asarray(g.dt), np.asarray(g.src),
+            np.asarray(g.hs_indices), self.n,
+            np.asarray(idx.W), np.asarray(idx.kind), np.asarray(idx.parity),
+            getattr(m, "_spline_name", type(m).__name__),
+            np.asarray(getattr(m, "_knots", m.stepwise_values())),
+        )
 
     # minimum tjj-tensor size (n+1)*n*K for the accelerator M-step: below
     # this the f64 host evaluation is already ~ms-scale and the remote

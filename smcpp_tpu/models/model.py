@@ -7,6 +7,7 @@ vector ``y`` and all derived quantities are pure jnp functions of it —
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import defaults
@@ -15,6 +16,15 @@ from . import spline as spline_mod
 
 def cumsum0(ary):
     return np.concatenate([[0.0], np.cumsum(ary)])
+
+
+def _cpu_device():
+    """Eager model evaluation must never dispatch to an accelerator: the
+    spline chain is ~15 tiny ops, and on a remote/tunneled device each
+    one costs a round trip (and, with no persistent TPU compile cache, a
+    remote compile per process) — measured as a visible slice of the
+    cold start and of every plugin that prints model values."""
+    return jax.local_devices(backend="cpu")[0]
 
 
 class PiecewiseModel:
@@ -149,15 +159,24 @@ class SMCModel:
     def regularizer_fn(self, y):
         return self._spline.roughness(y)
 
-    # ---- concrete conveniences ---------------------------------------
+    # ---- concrete conveniences (eager: pinned to the host CPU) -------
     def __call__(self, x):
-        return np.asarray(self.eval_at(self.y, x))
+        with jax.default_device(_cpu_device()):
+            return np.asarray(self.eval_at(self.y, x))
 
     def stepwise_values(self):
-        return np.asarray(self.stepwise_values_fn(self.y))
+        # one jitted CPU program per (model structure); called by every
+        # plugin/dump/marginal-surgery path, often per EM iteration
+        fn = getattr(self, "_sv_jit", None)
+        if fn is None:
+            fn = self._sv_jit = jax.jit(
+                self.stepwise_values_fn, device=_cpu_device()
+            )
+        return np.asarray(fn(self.y))
 
     def regularizer(self):
-        return float(self.regularizer_fn(self.y))
+        with jax.default_device(_cpu_device()):
+            return float(self.regularizer_fn(self.y))
 
     def randomize(self, rng=np.random):
         self.y = self.y + rng.normal(0.0, 1e-4, size=len(self.y))

@@ -123,7 +123,7 @@ def test_stats_pass_pallas_gate(monkeypatch):
 
     monkeypatch.setattr(ps, "sweeps", spy)
     monkeypatch.setattr(wk, "SWEEP_IMPL", "pallas")
-    monkeypatch.setattr(wk, "_pallas_ok", lambda: True)
+    monkeypatch.setattr(wk, "_pallas_ok", lambda _T: True)
     T, E, keys, valid, A_in, Q_end = _problem(2, 8, 128)
     args = (jnp.asarray(T), jnp.asarray(E), jnp.asarray(keys),
             jnp.asarray(valid), jnp.asarray(A_in), jnp.asarray(Q_end))

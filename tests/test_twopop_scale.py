@@ -56,3 +56,7 @@ def test_recorded_twopop_result():
     assert res["M"] == 32 and res["windows"] >= 10_000_000
     assert res["probe_oracle_max_rel_err"] <= ORACLE_BOUND
     assert res["estep_s"] <= ESTEP_BOUND_S
+    # round-5 decomposition: the f32-vs-f64-span error must be pure
+    # precision — the window and span algorithms agree at f64
+    assert res["n_probes"] >= 3
+    assert res["probe_err_algorithmic"] <= 2e-3
