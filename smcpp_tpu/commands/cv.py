@@ -1,4 +1,14 @@
-"""smc++ cv: cross-validated estimation (mirrors commands/cv.py)."""
+"""smc++ cv: cross-validated estimation (mirrors commands/cv.py).
+
+Multi-host note: `cv` is the one workflow that stays on the replicated
+driver under `jax.distributed` — its folds are contig subsets chosen
+AFTER loading, so host-local file sharding (parallel/hostlocal.py) does
+not map onto them; every process loads the full dataset and
+`BaseAnalysis` logs a warning saying so.  The replication cost is the
+data-pipeline wall only (the E-step still runs on the full device mesh):
+at the C3 scale that is ~2 min of per-process loading vs a multi-hour
+k-fold x rp-grid sweep, <2% of the run.  The reference's `cv` is
+single-node with no sharding at all (/root/reference/smcpp/commands/cv.py)."""
 
 import argparse
 import contextlib

@@ -607,15 +607,26 @@ class _EagerQOps:
         _, g = self._wdecode_fn(
             pi_d, T_d, E_d, self._wkeys, self._wvalid, self._wrow_ids
         )
-        if self._transfer_dtype() == jnp.float16:
-            g = self._pull_gammas_f16(g, row_axis=-1)
-        # f32 end-to-end: a (n_rows, M) f64 host copy at C3 scale is 1 GB
-        # of allocation + conversion for values already carrying f32 (or
-        # f16-transfer) noise
-        g = np.asarray(g, np.float32)
+        f16 = self._transfer_dtype() == jnp.float16
+        if f16:
+            # pull ONLY the row-normalized f16 values: the row masses are
+            # the row spans, which the host already knows — no f32 mass
+            # vector to transfer.  Rows scale by the exact span (vs the
+            # kernel's f32 row sum); the f16 entry rounding still leaves
+            # row sums at span*(1 +- ~4e-4) (tests pin conservation at
+            # 1e-3)
+            gn, _rs = _normalize_f16(g, -1)
+            g = jax.device_get(gn).astype(np.float32)
+        else:
+            # f32 end-to-end: a (n_rows, M) f64 host copy at C3 scale is
+            # 1 GB of conversion for values already carrying f32 noise
+            g = np.asarray(g, np.float32)
         out, off = [], getattr(self, "_wrow_offset", 0)
         for spans in self._wrow_spans:
-            out.append(g[off : off + len(spans)])
+            gi = g[off : off + len(spans)]
+            if f16:
+                gi = gi * np.asarray(spans, np.float32)[:, None]
+            out.append(gi)
             off += len(spans)
         return out
 

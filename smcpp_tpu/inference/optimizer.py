@@ -30,6 +30,7 @@ class SMCPPOptimizer:
         self._algorithm = algorithm
         self._xtol = xtol
         self._ftol = ftol
+        self._force_sequential = False
         self._single = single
         self._learn_rho = learn_rho
         self._outdir = outdir
@@ -278,6 +279,19 @@ class SMCPPOptimizer:
            one extra row checks the combined move against the best
            single.
 
+        The round REPEATS (Gauss-Seidel at round granularity, re-reading
+        the updated model) until its exact-f64 Q gain falls below
+        ~ftol*|Q|/50 or _UNIFIED_MAX_ROUNDS: one Jacobi round maximizes
+        Q far less than the reference's per-M-step L-BFGS (or the
+        sequential per-coordinate Brent searches), and the 1 Gbp
+        validation showed the EM ftol monitor then stops the whole fit
+        early at a measurably worse point (single-round A/B: loglik
+        -1216163 / median truth err 0.394 vs sequential -1212324 /
+        0.241; multi-round restores parity — see
+        benchmarks/results/large_fit_r5.json).  Steady state is still
+        one round (the second round finds nothing to move and costs one
+        coarse dispatch).
+
         The sequential machinery remains the fallback
         (SMCPP_TPU_UNIFIED_MSTEP=0, non-batched analyses, --multi) and
         the behavioral oracle.  Returns True when it handled the M-step
@@ -288,9 +302,48 @@ class SMCPPOptimizer:
         driven by the same Q objective (src/hmm.cpp:155-193)."""
         if os.environ.get("SMCPP_TPU_UNIFIED_MSTEP") == "0":
             return False
+        if getattr(self, "_force_sequential", False):
+            return False  # endgame: _check_termination switched us over
+        n_prev = getattr(self, "_mstep_count", 0)
+        self._mstep_count = n_prev + 1
+        if n_prev == 0:
+            # the FIRST M-step of an optimizer runs the sequential
+            # (Gauss-Seidel) machinery: from a warm start every knot is
+            # near its CONDITIONAL optimum, and the ridge direction out
+            # of it needs the sequential cascade (each knot's search
+            # seeing the previous knots' fresh moves) — the Jacobi pass
+            # took near-zero strides here and committed the 1 Gbp fit to
+            # a worse basin (round-5 regression hunt; validated in
+            # benchmarks/results/large_fit_r5.json).
+            return False
         a = self._analysis
         if not (self._single and getattr(a, "has_fast_batch", False)):
             return False
+        self._unified_used = True
+        for _ in range(self._UNIFIED_MAX_ROUNDS):
+            moved, v_new, gain = self._unified_round()
+            # a round whose own exact-f64 gain (accepted Q minus the
+            # same-batch base row) is already below ~ftol|Q|/10 will not
+            # seed a productive next round: stop here (the steady state
+            # pays ONE round per M-step; the endgame switch to the
+            # sequential machinery owns final convergence)
+            if not moved or (
+                v_new is not None
+                and gain < self._ftol * abs(v_new) / 10.0
+            ):
+                break
+        return True
+
+    # Two rounds: one moving + one verify.  More mid-run Jacobi rounds
+    # measured +0.34 s per EM iteration at C3 for marginal Q gains — the
+    # fit-quality work lives in the sequential FIRST M-step and the
+    # sequential ENDGAME switch, not in extra mid-run rounds.
+    _UNIFIED_MAX_ROUNDS = 2
+
+    def _unified_round(self):
+        """One Jacobi round of the unified M-step (see _unified_mstep).
+        Returns (moved, accepted f64 Q value or None)."""
+        a = self._analysis
         y0 = a.model.y.copy()
         rho0 = float(a.rho) if self._learn_rho else None
         scalars = self._unified_scalars(y0, rho0)
@@ -309,6 +362,20 @@ class SMCPPOptimizer:
             off += len(xs)
             if np.isfinite(s["vals"]).any():
                 live.append(s)
+                # f32-noise-floor guard (1 Gbp regression, round 5): the
+                # coarse f32 pipeline carries ~1e-7|Q| of tensor noise
+                # (manager._setup_fast docstring).  When a scalar's whole
+                # grid varies by less than ~30x that, its argmax/vertex
+                # is positioned by NOISE — single-round A/B at 1 Gbp
+                # converged 3.8k LL units short with visibly rougher
+                # N(t) (truth err 0.394 vs 0.194 with f64 grids).  Flag
+                # the scalar for one FULL-WINDOW f64 zoom round; early
+                # iterations have large spreads and never pay this.
+                fin = s["vals"][np.isfinite(s["vals"])]
+                s["force_f64"] = bool(
+                    fin.max() - fin.min()
+                    < 3e-6 * max(abs(fin.max()), 1.0)
+                )
             # a scalar whose whole grid is non-finite proposes no move
 
         # --- batched f64 zoom rounds for unconverged brackets ---
@@ -321,6 +388,11 @@ class SMCPPOptimizer:
         for _ in range(4):
             todo = []
             for s in live:
+                if s.pop("force_f64", False):
+                    # keep the full window: the f32 argmax is noise, so
+                    # shrinking around it would discard the real optimum
+                    todo.append(s)
+                    continue
                 lo, hi = zoom_window(s)
                 if hi - lo > 6.0 * s["xatol"]:
                     s["lo"], s["hi"] = lo, hi
@@ -357,10 +429,16 @@ class SMCPPOptimizer:
                     xq = xs[j] + 0.5 * w * (v[j - 1] - v[j + 1]) / den
                     xq = float(np.clip(xq, xs[j] - w, xs[j] + w))
             s["cand"] = xq
-            # moves far below the search's own resolution are f32-vertex
-            # noise: skip their f64 row (the decision batch is ~4 ms/row
-            # of host f64; at steady state most scalars sit here)
-            if abs(xq - s["x0"]) > 0.25 * s["xatol"]:
+            # Keep even sub-xatol vertices as candidates: at the 1 Gbp
+            # scale EVERY knot's conditional optimum sits 0.002-0.04 from
+            # x0 (the warm start is near per-coordinate-optimal and all
+            # progress is small coordinated ridge moves), and a 0.25*xatol
+            # floor silently discarded all of them — the M-step stalled
+            # from iteration 0 and the EM ftol monitor ended the fit 3.8k
+            # LL units short (round-5 regression hunt).  The exact-f64
+            # decision batch rejects genuine vertex noise at ~4 ms/row;
+            # only sub-1e-3-of-xatol jitter is skipped.
+            if abs(xq - s["x0"]) > 1e-3 * s["xatol"]:
                 cands.append(s)
 
         # trust radii from the proposed moves (accepted or not), exactly
@@ -373,7 +451,7 @@ class SMCPPOptimizer:
                 4.0 * s["xatol"]))
 
         if not cands:
-            return True  # fully converged: nothing moved
+            return False, None, 0.0  # fully converged: nothing moved
         # --- ONE f64 decision batch: candidates + base row ---
         pts = [(s, [s["cand"]]) for s in cands]
         ys, rhos = self._unified_rows(y0, rho0, pts)
@@ -385,7 +463,7 @@ class SMCPPOptimizer:
         v_base = vals[-1]
         acc = [i for i in range(len(cands)) if vals[i] > v_base]
         if not acc:
-            return True
+            return False, None, 0.0
 
         def apply(idxs):
             y = y0.copy()
@@ -406,6 +484,7 @@ class SMCPPOptimizer:
             return y, rho
 
         best = max(acc, key=lambda i: vals[i])
+        v_accept = float(vals[best])
         y_new, rho_new = apply(acc)
         if len(acc) > 1:
             v_comb = np.asarray(
@@ -416,15 +495,17 @@ class SMCPPOptimizer:
             if not (np.isfinite(v_comb) and v_comb >= vals[best]):
                 # couplings hurt the combined move: take the best single
                 y_new, rho_new = apply([best])
+            else:
+                v_accept = float(v_comb)
         a.model.y = y_new
         if rho_new is not None:
             logger.info("New rho: %g", rho_new)
             a.rho = rho_new
         logger.debug(
-            "unified M-step: %d/%d scalars moved in one f64 batch",
-            len(acc), len(cands),
+            "unified M-step round: %d/%d scalars moved (Q=%.6g)",
+            len(acc), len(cands), v_accept,
         )
-        return True
+        return True, v_accept, v_accept - float(v_base)
 
     def _minimize(self, x0, coords, coarse0=None):
         bounds = np.transpose(
@@ -760,9 +841,29 @@ class SMCPPOptimizer:
             if improvement < 0:
                 logger.warning("Loglik decreased")
             elif improvement < self._ftol:
-                logger.info("Log-likelihood improvement < tol; terminating")
-                self._old_loglik = ll
-                raise EMTerminationException()
+                if getattr(self, "_unified_used", False) and not getattr(
+                    self, "_force_sequential", False
+                ):
+                    # The fast Jacobi M-step makes smaller per-iteration
+                    # strides than the Gauss-Seidel sequential machinery
+                    # (small coordinated ridge moves don't survive
+                    # per-coordinate rounds) — at 1 Gbp scale it tripped
+                    # this monitor on ITERATION ONE, ending the fit 3.8k
+                    # LL units and 2x the truth error short.  Switch the
+                    # endgame to the sequential M-step instead of
+                    # terminating; EM ends when THAT stalls too.
+                    logger.info(
+                        "improvement < tol under the unified M-step; "
+                        "switching to the sequential M-step for final "
+                        "convergence"
+                    )
+                    self._force_sequential = True
+                else:
+                    logger.info(
+                        "Log-likelihood improvement < tol; terminating"
+                    )
+                    self._old_loglik = ll
+                    raise EMTerminationException()
         self._old_loglik = ll
 
 

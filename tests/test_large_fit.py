@@ -1,6 +1,6 @@
 """Large-scale accuracy regression: the 1 Gbp parameter-recovery bound.
 
-Pins the benchmark recorded in benchmarks/results/large_fit_r4.json (full
+Pins the benchmark recorded in benchmarks/results/large_fit_r5.json (full
 two-stage `estimate` on 1 Gbp of simulated data from a known smooth truth,
 measured on one TPU chip: median abs log-N error 0.144, p90 0.358).  The
 full run needs the cached simulated contigs (~1 Gbp on disk) and either a
@@ -56,7 +56,7 @@ def test_recorded_result_within_bounds():
     "The committed benchmark artifact itself satisfies the pinned bounds."
     fn = os.path.join(
         os.path.dirname(os.path.dirname(__file__)),
-        "benchmarks", "results", "large_fit_r4.json",
+        "benchmarks", "results", "large_fit_r5.json",
     )
     rec = json.load(open(fn))["result"]
     assert rec["gbp"] == 1.0

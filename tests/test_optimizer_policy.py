@@ -49,7 +49,10 @@ def make_opt(a, xtol=1e-3):
     o._learn_rho = False
     o._outdir = None
     o._base = "model"
-    o._old_loglik = None
+    # mid-run state: the unified M-step defers its FIRST M-step to the
+    # sequential cascade (warm-start basin selection)
+    o._old_loglik = -1.0
+    o._mstep_count = 1
     o._radius = {}
     return o
 
@@ -298,8 +301,10 @@ class FakeAnalysisRho(FakeAnalysis):
 
 
 def test_unified_steady_state_dispatch_count():
-    """With converged radii the whole M-step (scale + all knots) is one
-    coarse dispatch + one f64 decision batch (+ combined check)."""
+    """With converged radii a moving round is one coarse dispatch + one
+    f64 decision batch (+ combined check), plus ONE verification round
+    (coarse only) that finds nothing left — the multi-round policy that
+    restored the 1 Gbp fit quality (see _unified_mstep docstring)."""
     o = make_opt(FakeAnalysis(K=4))
     a = o._analysis
     r = _converged_radius(o)
@@ -309,10 +314,23 @@ def test_unified_steady_state_dispatch_count():
     assert o._unified_mstep()
     coarse_calls = [ys for ys, c in a.calls if c]
     f64_calls = [ys for ys, c in a.calls if not c]
-    assert len(coarse_calls) == 1  # every scalar rides one coarse batch
+    # one moving round + at most one verification round (no further
+    # rounds once nothing moves)
+    assert len(coarse_calls) <= 2
     assert len(coarse_calls[0]) == 4 * o._BATCH + o._BATCH  # knots + scale
-    assert len(f64_calls) <= 2  # decision batch + combined check
+    assert len(f64_calls) <= 4  # decision + combined, moving round only
     np.testing.assert_allclose(a.model.y, 1.5, atol=2 * o._xtol)
+
+
+def test_unified_rounds_converge_within_mstep():
+    """The round loop reaches the coordinate optimum in ONE M-step even
+    from far away (the single-round Jacobi pass left the 1 Gbp fit
+    thousands of LL units short and the EM ftol monitor stopped early)."""
+    o = make_opt(FakeAnalysis(K=4))
+    a = o._analysis
+    a.model.y[:] = 0.0  # far from the optimum at 1.5
+    assert o._unified_mstep()
+    np.testing.assert_allclose(a.model.y, 1.5, atol=3 * o._xtol)
 
 
 def test_unified_first_iteration_no_radius():
