@@ -1183,13 +1183,24 @@ class OnePopInferenceManager(_EagerQOps):
 
                     return base + jax.vmap(xi_term)(rhos)
 
+            from . import progcache as pc
+
             dev = self._device
+            fp = self._q_family_fp()
+            # disk-cached traced programs (progcache): on TPU the remote
+            # compile still runs per process (no persistent TPU compile
+            # cache), but the ~1 s of tracing+lowering per signature is
+            # skipped on warm starts
             self._setup_cache[key] = (
-                jax.jit(
-                    jax.vmap(q32, in_axes=(0, None, 0, None, None, None, None)),
+                pc.exported_jit(
+                    "qbatch32", fp,
+                    lambda: jax.vmap(
+                        q32, in_axes=(0, None, 0, None, None, None, None)
+                    ),
                     device=dev,
                 ),
-                jax.jit(q_rho_batch32, device=dev),
+                pc.exported_jit("qrho32", fp, lambda: q_rho_batch32,
+                                device=dev),
             )
         return self._setup_cache[key]
 
@@ -1760,7 +1771,16 @@ class TwoPopInferenceManager(_EagerQOps):
                 E = em_mod.emission_matrix(em_idx, em, e2)
                 return pi, T, E
 
-            fn = cache[key] = jax.jit(pipeline, device=self._cpu)
+            from . import progcache as pc
+
+            fp = pc.fingerprint(
+                key, self.hidden_states, np.asarray(self.em_idx.W),
+                np.asarray(self.em_idx.kind), np.asarray(self.em_idx.parity),
+                self.n1, self.n2, self.a1, self.a2, self._jcsfs.K,
+            )
+            fn = cache[key] = pc.exported_jit(
+                "twopop_tensors", fp, lambda: pipeline, device=self._cpu
+            )
         return fn(
             np.asarray(m1.y, np.float64), m2s_vals,
             float(model.split), float(self.rho),
