@@ -431,3 +431,22 @@ def test_unified_all_nonfinite_coarse_proposes_nothing():
     y0 = a.model.y.copy()
     assert o._unified_mstep()
     np.testing.assert_array_equal(a.model.y, y0)
+
+
+def test_ftol_switches_unified_to_sequential_before_terminating():
+    """When the ftol monitor trips while the unified M-step is active it
+    must SWITCH to the sequential machinery (one more chance at real
+    progress) and only terminate once sequential stalls too — the 1 Gbp
+    fit regression (round 5) was the unified pass tripping ftol on
+    iteration one."""
+    from smcpp_tpu.inference.optimizer import EMTerminationException
+
+    o = make_opt(FakeAnalysis(K=2))
+    o._unified_used = True
+    o._check_termination(-1000.0)
+    # sub-ftol improvement: first trip switches, second terminates
+    o._check_termination(-999.99)
+    assert o._force_sequential
+    assert not o._unified_mstep()  # unified now defers to sequential
+    with pytest.raises(EMTerminationException):
+        o._check_termination(-999.98)
